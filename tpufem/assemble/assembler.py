@@ -1,0 +1,212 @@
+"""Assembler: jitted residual / Jacobian / tangent-action for a functional.
+
+Maps the reference's assembly contract (FEniCSx/mechanic2d/
+asym_elasto_damage_model.cc:816-867) onto JAX:
+
+- ``residual``        ↔ fem::assemble_vector over ffcx vector kernels (:825)
+- ``matrix``          ↔ fem::assemble_matrix + set_diagonal (:852-859)
+- ``tangent_action``  ↔ matrix-free J·v (what MFEM's GetGradient + Mult
+                        compute without ever forming sparse J)
+- ``apply_lifting`` / ``set_bc`` ↔ the identity-row Dirichlet method
+  (doc.tex:1670-1741): b ← b − scale·J·(g − x0) on interior rows, then
+  b[bc] = scale·(g − x0[bc]); J rows/cols zeroed with unit diagonal.
+
+All element kernels come from jax.grad / jax.hessian / jax.jvp of the
+single element-energy function (see tpufem.forms.form). Scatter is a
+sorted segment-sum, deterministic by construction (no MatAssembly
+epochs, no insert-vs-add modes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.assemble.pattern import EllMatrix, SparsityPattern
+from tpufem.forms.form import EnergyFunctional
+from tpufem.spaces.bc import DirichletBC, combine_bcs
+
+
+class Assembler:
+    def __init__(self, functional: EnergyFunctional,
+                 bcs: Sequence[DirichletBC] = ()):
+        self.functional = functional
+        self.space = functional.space
+        self.n_dofs = self.space.n_dofs
+        self._energy_fn = functional.element_energy_fn()
+
+        # residual scatter plan: sort element dof stream once
+        dm = np.asarray(functional.vec_dofmap)
+        flat = dm.ravel()
+        self._r_perm = jnp.asarray(np.argsort(flat, kind="stable"))
+        self._r_segs = jnp.asarray(flat[np.asarray(self._r_perm)])
+
+        # BCs
+        self.bcs = list(bcs)
+        if self.bcs:
+            bc_dofs, bc_vals, bc_mask = combine_bcs(self.bcs, self.n_dofs)
+        else:
+            bc_dofs = np.zeros(0, dtype=np.int32)
+            bc_vals = np.zeros(0)
+            bc_mask = np.zeros(self.n_dofs, dtype=bool)
+        self.bc_dofs = jnp.asarray(bc_dofs)
+        self.bc_vals_np = bc_vals
+        self._free_mask_np = ~bc_mask
+
+        # sparsity (lazy)
+        self._pattern: Optional[SparsityPattern] = None
+
+    # -- helpers -------------------------------------------------------------
+
+    def bc_values(self, dtype) -> jnp.ndarray:
+        return jnp.asarray(self.bc_vals_np, dtype=dtype)
+
+    def free_mask(self, dtype) -> jnp.ndarray:
+        """1.0 on unconstrained dofs, 0.0 on Dirichlet dofs."""
+        return jnp.asarray(self._free_mask_np.astype(np.float64), dtype=dtype)
+
+    @property
+    def pattern(self) -> SparsityPattern:
+        if self._pattern is None:
+            self._pattern = SparsityPattern.from_dofmap(
+                np.asarray(self.functional.vec_dofmap), self.n_dofs
+            )
+        return self._pattern
+
+    # -- element-level batched kernels ----------------------------------------
+
+    def element_vectors(self, u, coeffs: Dict[str, jnp.ndarray]):
+        """(nc, ndofe) element residual vectors = ∂Πe/∂u_e (the ffcx
+        'tabulate_tensor vector kernel' analog)."""
+        u_cells = self.functional.gather(u)
+        c_cells = self.functional.gather_coeffs(coeffs)
+        g = jax.vmap(jax.grad(self._energy_fn), in_axes=(0, 0, 0))
+        return g(u_cells, self.functional.x_cells.astype(u.dtype), c_cells)
+
+    def element_matrices(self, u, coeffs: Dict[str, jnp.ndarray]):
+        """(nc, ndofe, ndofe) consistent element tangents = ∂²Πe/∂u_e²
+        — replaces the nested-dual Hessian of admfem.hpp:672-699 and the
+        hand-derived d(ψ)/dΛ tangents of MFEM/...cc:766-871."""
+        u_cells = self.functional.gather(u)
+        c_cells = self.functional.gather_coeffs(coeffs)
+        h = jax.vmap(jax.hessian(self._energy_fn), in_axes=(0, 0, 0))
+        return h(u_cells, self.functional.x_cells.astype(u.dtype), c_cells)
+
+    # -- global assembly -------------------------------------------------------
+
+    def energy(self, u, coeffs) -> jnp.ndarray:
+        """Total potential Π(u) (useful for validation/line search)."""
+        u_cells = self.functional.gather(u)
+        c_cells = self.functional.gather_coeffs(coeffs)
+        e = jax.vmap(self._energy_fn, in_axes=(0, 0, 0))(
+            u_cells, self.functional.x_cells.astype(u.dtype), c_cells
+        )
+        return jnp.sum(e)
+
+    def residual(self, u, coeffs) -> jnp.ndarray:
+        """Assembled residual F(u) (no BC treatment)."""
+        ev = self.element_vectors(u, coeffs)
+        vals = ev.ravel()[self._r_perm]
+        return jax.ops.segment_sum(
+            vals, self._r_segs, num_segments=self.n_dofs,
+            indices_are_sorted=True,
+        )
+
+    def tangent_action(self, u, coeffs, v) -> jnp.ndarray:
+        """Matrix-free J(u)·v via jvp of the assembled residual."""
+        f = lambda w: self.residual(w, coeffs)
+        return jax.jvp(f, (u,), (v,))[1]
+
+    def matrix(self, u, coeffs) -> EllMatrix:
+        """Assembled sparse Jacobian in ELL form, with Dirichlet rows
+        zeroed and unit diagonal (assemble_matrix + set_diagonal
+        semantics, FEniCSx/...cc:852-857). Columns for bc dofs are also
+        zeroed (symmetric elimination) so CG keeps a SPD operator; the
+        missing column contribution is restored by apply_lifting."""
+        pat = self.pattern
+        em = self.element_matrices(u, coeffs)
+        vals = em.ravel()[jnp.asarray(pat.perm)]
+        nnz_vals = jax.ops.segment_sum(
+            vals, jnp.asarray(pat.sorted_slots), num_segments=pat.nnz,
+            indices_are_sorted=True,
+        )
+        rows = jnp.asarray(pat.rows)
+        cols = jnp.asarray(pat.cols)
+        if len(self.bc_dofs):
+            free = self.free_mask(nnz_vals.dtype)
+            keep = free[rows] * free[cols]
+            diag = (rows == cols) & (free[rows] == 0.0)
+            nnz_vals = nnz_vals * keep + jnp.where(diag, 1.0, 0.0)
+        # scatter nnz slots into padded ELL layout
+        padded = jnp.concatenate(
+            [nnz_vals, jnp.zeros(1, dtype=nnz_vals.dtype)]
+        )
+        ell_vals = padded[jnp.asarray(pat.ell_slots)]
+        return EllMatrix(
+            n_rows=pat.n_rows, cols=jnp.asarray(pat.ell_cols), vals=ell_vals
+        )
+
+    def diagonal(self, u, coeffs) -> jnp.ndarray:
+        """Jacobian diagonal (for Jacobi/Chebyshev PC) without forming the
+        matrix: element Hessian diagonals scattered; 1.0 on bc dofs."""
+        em = self.element_matrices(u, coeffs)
+        ed = jnp.diagonal(em, axis1=1, axis2=2)  # (nc, ndofe)
+        vals = ed.ravel()[self._r_perm]
+        diag = jax.ops.segment_sum(
+            vals, self._r_segs, num_segments=self.n_dofs,
+            indices_are_sorted=True,
+        )
+        if len(self.bc_dofs):
+            free = self.free_mask(diag.dtype)
+            diag = diag * free + (1.0 - free)
+        return diag
+
+    # -- Dirichlet application (dolfinx contract) -------------------------------
+
+    def lifted_rhs(self, u, coeffs, r=None):
+        """Newton right-hand side with Dirichlet lifting.
+
+        Builds b such that solving Â δ = b (with Â = M J M + (I−M), M the
+        free-dof projector) yields the constrained Newton step:
+        b_free = −r − J·w, b_bc = w, where w[bc] = g − u[bc] (zero
+        elsewhere). This is apply_lifting(b,{J},{bc},{u},-1) + set_bc
+        (FEniCSx/...cc:825-836) expressed matrix-free.
+        """
+        if r is None:
+            r = self.residual(u, coeffs)
+        free = self.free_mask(u.dtype)
+        w = jnp.zeros_like(u)
+        if len(self.bc_dofs):
+            w = w.at[self.bc_dofs].set(self.bc_values(u.dtype) - u[self.bc_dofs])
+        Jw = self.tangent_action(u, coeffs, w)
+        b = (-r - Jw) * free + w
+        return b
+
+    def constrained_action(self, u, coeffs):
+        """Returns v ↦ Â v = M J M v + (I−M) v (SPD if J is)."""
+        free = self.free_mask(u.dtype)
+
+        def op(v):
+            Jv = self.tangent_action(u, coeffs, v * free)
+            return Jv * free + v * (1.0 - free)
+
+        return op
+
+    def constrained_matvec(self, mat: EllMatrix):
+        """Same constrained operator from an assembled matrix."""
+
+        def op(v):
+            return mat.matvec(v)
+
+        return op
+
+    def set_bc(self, u) -> jnp.ndarray:
+        """u with Dirichlet values imposed (dolfinx set_bc on a solution
+        vector)."""
+        if not len(self.bc_dofs):
+            return u
+        return u.at[self.bc_dofs].set(self.bc_values(u.dtype))

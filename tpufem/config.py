@@ -1,0 +1,90 @@
+"""Global configuration: dtype policy and runtime flags.
+
+The reference runs everything in float64 (PETSc default scalar;
+``FEniCSx/mechanic2d/asym_elasto_damage_model.cc`` uses ``PetscScalar``).
+On TPU, float64 is emulated and slow; the MXU wants f32/bf16. tpufem keeps
+the *solve* dtype a policy choice:
+
+- ``f64``: bit-faithful to the reference (CPU tests, accuracy harness).
+- ``f32``: TPU fast path; CG tolerances loosened accordingly, optionally
+  compensated (Kahan) reductions for dot products.
+
+Replaces the reference's three config tiers (compile-time macro matrix,
+CLI options, PETSc options DB — SURVEY.md §5.6) with one dataclass layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def enable_x64() -> None:
+    """Enable float64 in JAX (call before any tracing)."""
+    jax.config.update("jax_enable_x64", True)
+
+
+def default_dtype():
+    """Solve dtype: f64 when x64 is enabled, else f32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+# Index dtype for dofmaps / connectivity. int32 everywhere (meshes below
+# 2B entities), matching dolfinx's local int32 indices.
+INDEX_DTYPE = np.int32
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """Krylov + Newton settings.
+
+    Defaults mirror the reference:
+    - CG rtol 1e-12, maxit 2000  (FEniCSx/...cc:718 ``KSPSetTolerances``)
+    - Newton rtol 1e-7, atol 5e-8, max_it 10 (FEniCSx/...cc:709-713)
+    - convergence convention 'r0' (MFEM) or 'du0' (dolfinx); see
+      doc.tex:2065-2068 for the 6-vs-4 iteration consequence.
+    """
+
+    cg_rtol: float = 1.0e-12
+    cg_atol: float = 0.0
+    cg_maxit: int = 2000
+    newton_rtol: float = 1.0e-7
+    newton_atol: float = 5.0e-8
+    newton_maxit: int = 10
+    convergence: str = "r0"  # 'r0' | 'du0'
+    preconditioner: str = "jacobi"  # 'none' | 'jacobi' | 'chebyshev' | 'amg'
+    error_on_nonconvergence: bool = True
+    verbose: bool = False
+
+
+@dataclasses.dataclass
+class Mechanic2DConfig:
+    """The reference workload's compile-time macro matrix as a dataclass.
+
+    Mirrors FEniCSx/mechanic2d/asym_elasto_damage_model.cc:1-26 defaults:
+    MAX_REFINE=0, MAX_DAM=1., USE_VOLUME, USE_TRAC, random E field.
+    """
+
+    max_refine: int = 0
+    max_dam: float = 1.0
+    use_volume: bool = True
+    use_trac: bool = True  # +0.01 imposed displacement (else -0.01)
+    use_ecst: bool = False  # constant E=1e6 (auto-disabled under use_trac)
+    mesh_path: Optional[str] = None  # default: bundled square.msh
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+
+    def __post_init__(self):
+        if self.use_trac:
+            # Reference: #ifdef USE_TRAC → #undef USE_ECST (driver :20-24)
+            self.use_ecst = False
+
+
+def data_path(name: str) -> str:
+    """Path to a bundled data file (meshes for tests)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(here, "data", name)

@@ -1,0 +1,197 @@
+"""EnergyFunctional: compile an energy density into element kernels.
+
+The TPU-native analog of the ffcx compile pipeline (SURVEY.md §3.4):
+where the reference runs ``ffcx asym_*.py`` at build time to emit C
+``tabulate_tensor`` kernels (FEniCSx/mechanic2d/Makefile:13-15), we trace
+a Python element-energy function once under ``jax.jit``; ``jax.grad`` of
+it is the element residual kernel (the ffcx "vector kernel"),
+``jax.hessian`` the element matrix kernel (the "matrix kernel"), and
+``jax.jvp`` of the gradient the matrix-free tangent action. XLA fuses the
+quadrature loop, the geometry map, and the constitutive law into one
+batched kernel over all cells (vmap).
+
+Element dof values arrive as (ndof, bs) blocks; coefficients are
+evaluated at quadrature points from their own (possibly different-degree)
+spaces, mirroring the coefficient packing dolfinx does per form
+(FEniCSx/...cc:672-675).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.elements.lagrange import element as make_element
+from tpufem.elements.quadrature import quadrature
+from tpufem.spaces.space import FunctionSpace
+
+
+@dataclasses.dataclass(frozen=True)
+class Coefficient:
+    """A field entering the integrand, with its own space."""
+
+    name: str
+    space: FunctionSpace  # space the coefficient lives in
+
+
+class QP:
+    """Per-quadrature-point context handed to integrands."""
+
+    def __init__(self, grad_u, u, x, coeffs, coeff_grads):
+        self.grad_u = grad_u  # (bs, gdim) physical gradient of u
+        self.u = u  # (bs,) value of u
+        self.x = x  # (gdim,) physical position
+        self._c = coeffs  # name -> value ((,) scalar or (bs_c,))
+        self._cg = coeff_grads  # name -> (bs_c, gdim) if requested
+
+    @property
+    def eps(self):
+        """Symmetric gradient (small strain), (bs, gdim)."""
+        return 0.5 * (self.grad_u + self.grad_u.T)
+
+    def coeff(self, name):
+        return self._c[name]
+
+    def coeff_grad(self, name):
+        return self._cg[name]
+
+
+@dataclasses.dataclass(frozen=True)
+class Term:
+    """∫ integrand(qp) dX over all cells, at given quadrature degree.
+
+    The reference forces degree 1 on the stiffness term and the default
+    degree on the load term (asym_ufl.py:78-81); one Term each.
+    """
+
+    integrand: Callable[[QP], jnp.ndarray]
+    degree: int
+    needs_coeff_grads: Sequence[str] = ()
+
+
+class EnergyFunctional:
+    """Π(u) = Σ_terms ∫ integrand dX; residual F = ∂Π/∂u, Jacobian ∂²Π/∂u².
+
+    Equivalent of the (F, J=derivative(F)) form pair created at
+    FEniCSx/...cc:679-685, for hyperelastic-type F (F = DΠ).
+    """
+
+    def __init__(
+        self,
+        space: FunctionSpace,
+        terms: Sequence[Term],
+        coefficients: Sequence[Coefficient] = (),
+    ):
+        self.space = space
+        self.terms = list(terms)
+        self.coefficients = list(coefficients)
+        mesh = space.mesh
+        self.geom_element = make_element(mesh.cell_type, 1)
+        # static per-cell geometry (host → device once)
+        self._x_cells = jnp.asarray(mesh.x[mesh.cells])  # (nc, nvg, gdim)
+        self._vec_dofmap = jnp.asarray(space.vector_dofmap())  # (nc, ndof*bs)
+        self._coeff_dofmaps = {
+            c.name: jnp.asarray(c.space.vector_dofmap()) for c in self.coefficients
+        }
+        # tabulations per term (static constants baked into the trace)
+        self._tabs = []
+        for t in self.terms:
+            qpts, qwts = quadrature(mesh.cell_type, t.degree)
+            tab = {
+                "qw": qwts,
+                "N_geom": self.geom_element.tabulate(qpts),  # (nq, nvg)
+                "dN_geom": self.geom_element.tabulate_grad(qpts),  # (nq,nvg,dim)
+                "N_u": space.element.tabulate(qpts),  # (nq, ndof)
+                "dN_u": space.element.tabulate_grad(qpts),  # (nq, ndof, dim)
+                "N_c": {
+                    c.name: c.space.element.tabulate(qpts)
+                    for c in self.coefficients
+                },
+                "dN_c": {
+                    c.name: c.space.element.tabulate_grad(qpts)
+                    for c in self.coefficients
+                },
+            }
+            self._tabs.append(tab)
+
+    # -- element kernels ---------------------------------------------------
+
+    def element_energy_fn(self) -> Callable:
+        """Returns fn(u_e (ndof*bs,), x_e (nvg,gdim), coeff_es dict) → scalar.
+
+        This single scalar function is what jax.grad / jax.hessian
+        differentiate — the analog of the ffcx-generated tabulate_tensor
+        bodies (~260–970 C lines each, doc.tex:2322-2325) for *all*
+        variants at once.
+        """
+        space = self.space
+        bs = space.bs
+        ndof = space.element.ndof
+        terms = self.terms
+        tabs = self._tabs
+        coeff_bs = {c.name: c.space.bs for c in self.coefficients}
+        coeff_ndof = {c.name: c.space.element.ndof for c in self.coefficients}
+
+        def energy(u_e, x_e, coeff_es):
+            u = u_e.reshape(ndof, bs)
+            total = jnp.zeros((), dtype=u_e.dtype)
+            for t, tab in zip(terms, tabs):
+                nq = tab["qw"].shape[0]
+                for q in range(nq):  # static unroll; nq is tiny (1–8)
+                    dNg = jnp.asarray(tab["dN_geom"][q], dtype=u_e.dtype)
+                    J = x_e.T @ dNg  # (gdim, dim)
+                    detJ = jnp.linalg.det(J)
+                    Jinv = jnp.linalg.inv(J)  # (dim, gdim)
+                    dN = jnp.asarray(tab["dN_u"][q], dtype=u_e.dtype) @ Jinv
+                    N = jnp.asarray(tab["N_u"][q], dtype=u_e.dtype)
+                    Ng = jnp.asarray(tab["N_geom"][q], dtype=u_e.dtype)
+                    grad_u = u.T @ dN  # (bs, gdim)
+                    u_q = N @ u  # (bs,)
+                    x_q = Ng @ x_e  # (gdim,)
+                    cvals = {}
+                    cgrads = {}
+                    for name, ce in coeff_es.items():
+                        cb = coeff_bs[name]
+                        cv = ce.reshape(coeff_ndof[name], cb)
+                        Nc = jnp.asarray(tab["N_c"][name][q], dtype=u_e.dtype)
+                        val = Nc @ cv
+                        cvals[name] = val[0] if cb == 1 else val
+                        if name in t.needs_coeff_grads:
+                            dNc = (
+                                jnp.asarray(
+                                    tab["dN_c"][name][q], dtype=u_e.dtype
+                                )
+                                @ Jinv
+                            )
+                            cgrads[name] = cv.T @ dNc
+                    qp = QP(grad_u, u_q[0] if bs == 1 else u_q, x_q, cvals, cgrads)
+                    w = jnp.asarray(tab["qw"][q], dtype=u_e.dtype)
+                    total = total + t.integrand(qp) * w * jnp.abs(detJ)
+            return total
+
+        return energy
+
+    # -- gathered per-cell inputs -------------------------------------------
+
+    def gather(self, u: jnp.ndarray):
+        """Per-cell dof blocks for u: (nc, ndof*bs)."""
+        return u[self._vec_dofmap]
+
+    def gather_coeffs(self, coeff_values: Dict[str, jnp.ndarray]):
+        """Per-cell blocks for each coefficient: name → (nc, ndof_c*bs_c)."""
+        return {
+            name: coeff_values[name][dm]
+            for name, dm in self._coeff_dofmaps.items()
+        }
+
+    @property
+    def x_cells(self):
+        return self._x_cells
+
+    @property
+    def vec_dofmap(self):
+        return self._vec_dofmap

@@ -1,0 +1,59 @@
+"""Preconditioners: Jacobi and Chebyshev-smoothed Jacobi.
+
+Stand-ins for hypre BoomerAMG (FEniCSx/mechanic2d/
+asym_elasto_damage_model.cc:720-813; MFEM/...cc:1503-1517) per the build
+plan (SURVEY.md §7.3 item 4): start Jacobi/Chebyshev, add an AMG-style
+multilevel hierarchy later. Both are pure jnp → free to fuse with the CG
+body.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+
+def jacobi_preconditioner(diag: jnp.ndarray) -> Callable:
+    """M ≈ A⁻¹ as 1/diag (guarded)."""
+    inv = jnp.where(diag != 0.0, 1.0 / diag, 1.0)
+
+    def M(r):
+        return inv * r
+
+    return M
+
+
+def chebyshev_preconditioner(
+    A: Callable, diag: jnp.ndarray, *, degree: int = 4,
+    lmax_scale: float = 1.1, lmin_ratio: float = 0.25,
+    lmax: float | None = None,
+) -> Callable:
+    """Chebyshev polynomial of the Jacobi-scaled operator.
+
+    Approximates A⁻¹ with a fixed-degree Chebyshev recurrence on
+    D⁻¹A, assuming eigenvalues in [lmin_ratio·λmax, lmax_scale·λmax].
+    λmax of D⁻¹A defaults to 2.0 (upper bound for SPD FEM operators with
+    Jacobi scaling); pass a measured value for tighter clustering.
+    """
+    inv_d = jnp.where(diag != 0.0, 1.0 / diag, 1.0)
+    lam_max = (lmax if lmax is not None else 2.0) * lmax_scale
+    lam_min = lam_max * lmin_ratio
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+
+    def M(r):
+        sigma = theta / delta
+        rho_old = 1.0 / sigma
+        x = jnp.zeros_like(r)
+        res = inv_d * r
+        d_k = res / theta
+        for _ in range(degree):
+            x = x + d_k
+            res = res - inv_d * A(d_k)
+            rho_new = 1.0 / (2.0 * sigma - rho_old)
+            d_k = rho_new * rho_old * d_k + (2.0 * rho_new / delta) * res
+            rho_old = rho_new
+        return x
+
+    return M

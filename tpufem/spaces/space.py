@@ -1,0 +1,77 @@
+"""FunctionSpace: element + mesh → dofmap and dof coordinates."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from tpufem.config import INDEX_DTYPE
+from tpufem.elements.lagrange import Element, element as make_element
+from tpufem.mesh.mesh import Mesh
+from tpufem.mesh.topology import build_entities
+
+
+@dataclasses.dataclass
+class FunctionSpace:
+    """Scalar or blocked (vector) Lagrange space.
+
+    ``dofmap``: (n_cells, ndof_cell) int32 *scalar* dof indices (node-level);
+    vector dofs are ``node_dof * bs + component`` (byVDIM ordering,
+    MFEM/...cc:1108). ``n_scalar_dofs`` counts node-level dofs; total
+    unknowns = n_scalar_dofs * bs.
+    """
+
+    mesh: Mesh
+    element: Element
+    bs: int = 1
+    dofmap: np.ndarray = None
+    n_scalar_dofs: int = 0
+    dof_coords: np.ndarray = None  # (n_scalar_dofs, gdim)
+
+    @staticmethod
+    def create(mesh: Mesh, degree: int, bs: int = 1) -> "FunctionSpace":
+        el = make_element(mesh.cell_type, degree)
+        dofmap, ndofs, coords = _build_dofmap(mesh, el)
+        return FunctionSpace(
+            mesh=mesh, element=el, bs=bs, dofmap=dofmap,
+            n_scalar_dofs=ndofs, dof_coords=coords,
+        )
+
+    @property
+    def n_dofs(self) -> int:
+        return self.n_scalar_dofs * self.bs
+
+    def vector_dofmap(self) -> np.ndarray:
+        """Expanded (n_cells, ndof_cell*bs) dofmap with byVDIM blocking."""
+        if self.bs == 1:
+            return self.dofmap
+        dm = self.dofmap[:, :, None] * self.bs + np.arange(self.bs)[None, None, :]
+        return dm.reshape(self.dofmap.shape[0], -1).astype(INDEX_DTYPE)
+
+
+def _build_dofmap(mesh: Mesh, el: Element):
+    """Assign global scalar dofs per entity class of the element layout."""
+    if el.degree == 0:
+        dofmap = np.arange(mesh.n_cells, dtype=INDEX_DTYPE)[:, None]
+        # centroid coordinates
+        coords = mesh.x[mesh.cells].mean(axis=1)
+        return dofmap, mesh.n_cells, coords
+
+    n_vertex = mesh.n_nodes
+    vertex_block = mesh.cells  # (nc, nv) — dof i == vertex i for P1
+    if el.degree == 1:
+        return vertex_block.astype(INDEX_DTYPE), n_vertex, mesh.x.copy()
+
+    if el.degree == 2:
+        edges, c2e = build_entities(mesh, 1)
+        edge_block = (n_vertex + c2e).astype(INDEX_DTYPE)
+        dofmap = np.concatenate([vertex_block, edge_block], axis=1).astype(
+            INDEX_DTYPE
+        )
+        mid = 0.5 * (mesh.x[edges[:, 0]] + mesh.x[edges[:, 1]])
+        coords = np.concatenate([mesh.x, mid], axis=0)
+        return dofmap, n_vertex + edges.shape[0], coords
+
+    raise NotImplementedError(f"degree {el.degree}")
