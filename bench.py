@@ -1,0 +1,119 @@
+"""Benchmark: assembly throughput on the mechanic2d physics at ~1M DoF.
+
+Prints ONE JSON line:
+  {"metric": "assembly_mdof_s", "value": N, "unit": "MDoF/s",
+   "vs_baseline": N}
+
+Metric: DoF assembled per second for one nonlinear-iteration assembly
+pass (residual + element tangents + Jacobi diagonal) of the asymmetric
+elasto-damage model on P1 triangles — the phase the reference profiles
+as "6.3/6.4 create+assemble elementary vector/matrix".
+
+Baseline (BASELINE.md): the reference's FEniCSx C++ np=1 figure —
+6.17M DoF × 7 NL iterations / (19.96 s + 44.73 s) ≈ 0.667 MDoF/s on one
+CPU core. vs_baseline = ours / 0.667.
+
+Secondary numbers (end-to-end Newton-Krylov solve time) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_MDOF_S = 6.17e6 * 7 / (19.96 + 44.73) / 1e6  # ≈ 0.667 MDoF/s
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpufem.assemble import Assembler
+    from tpufem.config import SolverConfig
+    from tpufem.forms import EnergyFunctional, asym_damage_psi
+    from tpufem.forms.form import Coefficient, Term
+    from tpufem.mesh import unit_square
+    from tpufem.nls.newton_jit import make_newton_solver
+    from tpufem.spaces import DirichletBC, FunctionSpace
+    from tpufem.spaces.bc import locate_dofs_geometrical
+
+    dtype = jnp.float32
+    n = 724  # 2*n^2 cells, (n+1)^2 nodes -> ~1.05M dofs
+    t0 = time.perf_counter()
+    mesh = unit_square(n)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    E, NU = 1.0e6, 0.3
+    d_np = np.zeros(DS.n_dofs)
+    band = (DS.dof_coords[:, 1] > 0.45) & (DS.dof_coords[:, 1] < 0.55)
+    d_np[band] = 0.8
+    stiff = Term(
+        integrand=lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), E, NU),
+        degree=1,
+    )
+    F = EnergyFunctional(V, [stiff], [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    right = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0] - 1) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0]), DirichletBC(V, right, [0.01, 0.0])]
+    asm = Assembler(F, bcs)
+    coeffs = {"d": jnp.asarray(d_np, dtype=dtype)}
+    print(
+        f"setup: {V.n_dofs} dofs, {mesh.n_cells} cells, "
+        f"{time.perf_counter()-t0:.2f}s",
+        file=sys.stderr,
+    )
+
+    @jax.jit
+    def assembly_pass(u, d):
+        c = {"d": d}
+        r = asm.residual(u, c)
+        diag = asm.diagonal(u, c)
+        return r, diag
+
+    u = jnp.zeros(V.n_dofs, dtype=dtype)
+    # compile + warmup
+    r, diag = assembly_pass(u, coeffs["d"])
+    jax.block_until_ready((r, diag))
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r, diag = assembly_pass(u, coeffs["d"])
+    jax.block_until_ready((r, diag))
+    dt = (time.perf_counter() - t0) / reps
+    mdof_s = V.n_dofs / dt / 1e6
+    print(f"assembly pass: {dt*1e3:.2f} ms -> {mdof_s:.1f} MDoF/s", file=sys.stderr)
+
+    # end-to-end solve (secondary, stderr)
+    cfg = SolverConfig(
+        cg_rtol=1e-6, newton_rtol=1e-5, newton_atol=1e-3, cg_maxit=2000,
+        error_on_nonconvergence=False,
+    )
+    solve = make_newton_solver(asm, cfg, use_matrix=True)
+    res = solve(u, coeffs)
+    jax.block_until_ready(res.u)
+    t0 = time.perf_counter()
+    res = solve(u, coeffs)
+    jax.block_until_ready(res.u)
+    t_solve = time.perf_counter() - t0
+    print(
+        f"e2e newton-krylov ({V.n_dofs} dofs): {t_solve:.3f} s, "
+        f"newton={int(res.newton_iters)} cg={int(res.total_cg_iters)} "
+        f"rel={float(res.final_residual/res.r0):.2e}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "assembly_mdof_s",
+                "value": round(mdof_s, 2),
+                "unit": "MDoF/s",
+                "vs_baseline": round(mdof_s / (REFERENCE_MDOF_S * 1e0), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""Root conftest: make tpufem importable and configure JAX for tests.
+
+Tests run on CPU with 8 virtual devices — the TPU analog of
+``mpirun -np 8`` without a cluster (SURVEY.md §4) — and float64 enabled
+for bit-faithful comparisons with the reference's PETSc-double numerics.
+
+Note: the session's sitecustomize imports jax at interpreter start (to
+register the TPU PJRT plugin), so JAX_PLATFORMS set here via os.environ
+is too late; the platform must be switched through jax.config. XLA_FLAGS
+is still read at backend init, which has not happened yet.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

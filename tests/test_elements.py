@@ -1,0 +1,119 @@
+"""Element tests: partition of unity, gradient consistency, quadrature
+exactness."""
+
+import numpy as np
+import pytest
+
+from tpufem.elements import element, quadrature
+from tpufem.mesh.mesh import CellType
+
+ELEMENTS = [
+    (CellType.triangle, 1),
+    (CellType.triangle, 2),
+    (CellType.tetra, 1),
+    (CellType.tetra, 2),
+    (CellType.quad, 1),
+    (CellType.hexahedron, 1),
+    (CellType.interval, 1),
+]
+
+
+def _random_ref_points(cell_type, n=20, seed=0):
+    rng = np.random.default_rng(seed)
+    dim = element(cell_type, 1).dim
+    if cell_type in (CellType.triangle, CellType.tetra):
+        # random barycentric
+        w = rng.dirichlet(np.ones(dim + 1), size=n)
+        return w[:, 1:]
+    return rng.uniform(0, 1, size=(n, dim))
+
+
+@pytest.mark.parametrize("cell_type,degree", ELEMENTS)
+def test_partition_of_unity(cell_type, degree):
+    el = element(cell_type, degree)
+    p = _random_ref_points(cell_type)
+    N = el.tabulate(p)
+    assert np.allclose(N.sum(axis=1), 1.0, atol=1e-13)
+    G = el.tabulate_grad(p)
+    assert np.allclose(G.sum(axis=1), 0.0, atol=1e-13)
+
+
+@pytest.mark.parametrize("cell_type,degree", ELEMENTS)
+def test_gradient_finite_difference(cell_type, degree):
+    el = element(cell_type, degree)
+    p = _random_ref_points(cell_type, n=5, seed=1) * 0.5 + 0.1
+    h = 1e-6
+    G = el.tabulate_grad(p)
+    for d in range(el.dim):
+        dp = np.zeros_like(p)
+        dp[:, d] = h
+        fd = (el.tabulate(p + dp) - el.tabulate(p - dp)) / (2 * h)
+        assert np.allclose(G[:, :, d], fd, atol=1e-8)
+
+
+@pytest.mark.parametrize("cell_type,degree", ELEMENTS)
+def test_nodal_property(cell_type, degree):
+    """N_i(x_j) = delta_ij at the element's nodal points (vertices for
+    degree 1; vertices+edge midpoints for degree 2)."""
+    el = element(cell_type, degree)
+    dim = el.dim
+    if cell_type in (CellType.triangle, CellType.tetra, CellType.interval):
+        verts = np.concatenate([np.zeros((1, dim)), np.eye(dim)], axis=0)
+    else:
+        nv = 2**dim
+        verts = np.array(
+            [[(i >> d) & 1 for d in range(dim)] for i in range(nv)], float
+        )
+    pts = [verts]
+    if degree == 2:
+        from tpufem.mesh.mesh import CELL_EDGES
+
+        mids = np.array(
+            [0.5 * (verts[a] + verts[b]) for a, b in CELL_EDGES[cell_type]]
+        )
+        pts.append(mids)
+    pts = np.concatenate(pts, axis=0)
+    N = el.tabulate(pts)
+    assert np.allclose(N, np.eye(el.ndof), atol=1e-13)
+
+
+@pytest.mark.parametrize(
+    "cell_type,degree,exact",
+    [
+        (CellType.triangle, 1, 0.5),
+        (CellType.triangle, 2, None),
+        (CellType.triangle, 3, None),
+        (CellType.triangle, 5, None),
+        (CellType.quad, 3, None),
+        (CellType.tetra, 1, 1 / 6),
+        (CellType.tetra, 2, None),
+        (CellType.hexahedron, 3, None),
+    ],
+)
+def test_quadrature_polynomial_exactness(cell_type, degree, exact):
+    pts, wts = quadrature(cell_type, degree)
+    # volume = integral of 1
+    vol = {"triangle": 0.5, "tetra": 1 / 6, "quad": 1.0, "hexahedron": 1.0}[
+        cell_type
+    ]
+    assert np.isclose(wts.sum(), vol, atol=1e-14)
+    # exactness on monomials up to the requested degree
+    dim = pts.shape[1]
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        # random multi-index with |alpha| <= degree
+        alpha = rng.multinomial(degree, np.ones(dim + 1) / (dim + 1))[:dim]
+        integrand = np.prod(pts**alpha, axis=1)
+        approx = float(wts @ integrand)
+        exact_val = _exact_monomial(cell_type, alpha)
+        assert np.isclose(approx, exact_val, atol=1e-12), (alpha, approx, exact_val)
+
+
+def _exact_monomial(cell_type, alpha):
+    from math import factorial, prod
+
+    if cell_type in (CellType.triangle, CellType.tetra):
+        d = len(alpha)
+        num = prod(factorial(a) for a in alpha)
+        return num / factorial(sum(alpha) + d)
+    return prod(1.0 / (a + 1) for a in alpha)

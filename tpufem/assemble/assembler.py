@@ -38,6 +38,7 @@ class Assembler:
         self.space = functional.space
         self.n_dofs = self.space.n_dofs
         self._energy_fn = functional.element_energy_fn()
+        self._facet_fns = functional.facet_energy_fns()
 
         # residual scatter plan: sort element dof stream once
         dm = np.asarray(functional.vec_dofmap)
@@ -105,16 +106,28 @@ class Assembler:
         e = jax.vmap(self._energy_fn, in_axes=(0, 0, 0))(
             u_cells, self.functional.x_cells.astype(u.dtype), c_cells
         )
-        return jnp.sum(e)
+        total = jnp.sum(e)
+        for fn, dofmap, x_f, nrm in self._facet_fns:
+            fe = jax.vmap(fn, in_axes=(0, 0, 0))(
+                u[dofmap], x_f.astype(u.dtype), nrm.astype(u.dtype)
+            )
+            total = total + jnp.sum(fe)
+        return total
 
     def residual(self, u, coeffs) -> jnp.ndarray:
         """Assembled residual F(u) (no BC treatment)."""
         ev = self.element_vectors(u, coeffs)
         vals = ev.ravel()[self._r_perm]
-        return jax.ops.segment_sum(
+        r = jax.ops.segment_sum(
             vals, self._r_segs, num_segments=self.n_dofs,
             indices_are_sorted=True,
         )
+        for fn, dofmap, x_f, nrm in self._facet_fns:
+            fv = jax.vmap(jax.grad(fn), in_axes=(0, 0, 0))(
+                u[dofmap], x_f.astype(u.dtype), nrm.astype(u.dtype)
+            )
+            r = r.at[dofmap.ravel()].add(fv.ravel())
+        return r
 
     def tangent_action(self, u, coeffs, v) -> jnp.ndarray:
         """Matrix-free J(u)·v via jvp of the assembled residual."""
@@ -127,6 +140,9 @@ class Assembler:
         semantics, FEniCSx/...cc:852-857). Columns for bc dofs are also
         zeroed (symmetric elimination) so CG keeps a SPD operator; the
         missing column contribution is restored by apply_lifting."""
+        # note: facet-term Hessians are not inserted here (zero for linear
+        # traction loads; the matrix-free tangent_action includes them
+        # exactly via JVP)
         pat = self.pattern
         em = self.element_matrices(u, coeffs)
         vals = em.ravel()[jnp.asarray(pat.perm)]

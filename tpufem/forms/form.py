@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpufem.elements.geometry import det as small_det, inv as small_inv
 from tpufem.elements.lagrange import element as make_element
 from tpufem.elements.quadrature import quadrature
 from tpufem.spaces.space import FunctionSpace
@@ -73,6 +74,35 @@ class Term:
     needs_coeff_grads: Sequence[str] = ()
 
 
+class FacetQP:
+    """Per-quadrature-point context on an exterior facet."""
+
+    def __init__(self, u, x, normal, coeffs):
+        self.u = u  # (bs,) value of u at the point
+        self.x = x  # (gdim,) position
+        self.normal = normal  # (gdim,) outward unit normal
+        self._c = coeffs
+
+    def coeff(self, name):
+        return self._c[name]
+
+
+@dataclasses.dataclass(frozen=True)
+class FacetTerm:
+    """∫ integrand(fqp) dΓ over a set of exterior facets.
+
+    Equivalent of the reference's ``ds(0)`` surface-load term and its
+    exterior_facet subdomain machinery (USE_SURF,
+    FEniCSx/mechanic2d/asym_elasto_damage_model.cc:589-608; the traction
+    ``dot(t*n, delta_u)*ds(0)`` sketched at asym_ufl.py:74-81). The energy
+    form of a traction t is −∫ t·u dΓ.
+    """
+
+    integrand: Callable[[FacetQP], jnp.ndarray]
+    degree: int
+    facets: np.ndarray  # indices into the mesh facet table
+
+
 class EnergyFunctional:
     """Π(u) = Σ_terms ∫ integrand dX; residual F = ∂Π/∂u, Jacobian ∂²Π/∂u².
 
@@ -85,9 +115,11 @@ class EnergyFunctional:
         space: FunctionSpace,
         terms: Sequence[Term],
         coefficients: Sequence[Coefficient] = (),
+        facet_terms: Sequence[FacetTerm] = (),
     ):
         self.space = space
         self.terms = list(terms)
+        self.facet_terms = list(facet_terms)
         self.coefficients = list(coefficients)
         mesh = space.mesh
         self.geom_element = make_element(mesh.cell_type, 1)
@@ -118,6 +150,65 @@ class EnergyFunctional:
             }
             self._tabs.append(tab)
 
+        # facet-term static data: dofmaps, geometry, outward normals
+        self._facet_blocks = []
+        if self.facet_terms:
+            from tpufem.mesh.mesh import CELL_INFO
+            from tpufem.mesh.topology import build_entities, facet_to_cells
+
+            facets, _ = build_entities(mesh, mesh.dim - 1)
+            indptr, cell_ids = facet_to_cells(mesh)
+            facet_type = CELL_INFO[mesh.cell_type]["facet"]
+            f_el = make_element(facet_type, 1)
+            for ft in self.facet_terms:
+                fidx = np.asarray(ft.facets, dtype=np.int64)
+                if fidx.size == 0:
+                    continue  # term over an empty facet set contributes 0
+                fverts = facets[fidx]  # (nf, nvf) vertex indices
+                x_f = mesh.x[fverts]  # (nf, nvf, gdim)
+                # outward normal per facet from the owning cell centroid
+                owner = cell_ids[indptr[fidx]]
+                cc = mesh.x[mesh.cells[owner]].mean(axis=1)
+                fc = x_f.mean(axis=1)
+                if mesh.dim == 2:
+                    tang = x_f[:, 1] - x_f[:, 0]
+                    nrm = np.stack([tang[:, 1], -tang[:, 0]], axis=1)
+                else:
+                    nrm = np.cross(
+                        x_f[:, 1] - x_f[:, 0], x_f[:, 2] - x_f[:, 0]
+                    )
+                flip = np.sum(nrm * (fc - cc), axis=1) < 0
+                nrm[flip] *= -1.0
+                nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+                # facet dofmap (P1/P2 vertex dofs; P2 adds the edge dof)
+                fd = fverts.astype(np.int64)
+                if space.element.degree == 2 and mesh.dim == 2:
+                    from tpufem.mesh.topology import match_tagged_entities  # noqa
+
+                    # the facet IS an edge: edge dof index = n_nodes + edge id
+                    fd = np.concatenate(
+                        [fd, (mesh.n_nodes + fidx)[:, None]], axis=1
+                    )
+                    f_el_deg = make_element(facet_type, 2)
+                else:
+                    f_el_deg = f_el
+                fd_vec = (
+                    fd[..., None] * space.bs + np.arange(space.bs)
+                ).reshape(len(fidx), -1)
+                qpts, qwts = quadrature(facet_type, ft.degree)
+                self._facet_blocks.append(
+                    dict(
+                        term=ft,
+                        dofmap=jnp.asarray(fd_vec.astype(np.int64)),
+                        x=jnp.asarray(x_f),
+                        normal=jnp.asarray(nrm),
+                        qw=qwts,
+                        N_u=f_el_deg.tabulate(qpts),  # (nq, ndof_f)
+                        N_geom=f_el.tabulate(qpts),  # (nq, nvf)
+                        dN_geom=f_el.tabulate_grad(qpts),  # (nq, nvf, dim-1)
+                    )
+                )
+
     # -- element kernels ---------------------------------------------------
 
     def element_energy_fn(self) -> Callable:
@@ -144,8 +235,8 @@ class EnergyFunctional:
                 for q in range(nq):  # static unroll; nq is tiny (1–8)
                     dNg = jnp.asarray(tab["dN_geom"][q], dtype=u_e.dtype)
                     J = x_e.T @ dNg  # (gdim, dim)
-                    detJ = jnp.linalg.det(J)
-                    Jinv = jnp.linalg.inv(J)  # (dim, gdim)
+                    detJ = small_det(J)
+                    Jinv = small_inv(J)  # (dim, gdim)
                     dN = jnp.asarray(tab["dN_u"][q], dtype=u_e.dtype) @ Jinv
                     N = jnp.asarray(tab["N_u"][q], dtype=u_e.dtype)
                     Ng = jnp.asarray(tab["N_geom"][q], dtype=u_e.dtype)
@@ -174,6 +265,45 @@ class EnergyFunctional:
             return total
 
         return energy
+
+    def facet_energy_fns(self):
+        """Per facet-term: (energy_fn(u_f, x_f, normal) → scalar, dofmap).
+
+        Coefficient fields on facets are not yet supported — traction
+        terms close over constants instead (matches the reference, whose
+        surface load is a Constant t, asym_ufl.py:74-75).
+        """
+        out = []
+        bs = self.space.bs
+        for blk in self._facet_blocks:
+            term = blk["term"]
+            qw, N_u, dNg = blk["qw"], blk["N_u"], blk["dN_geom"]
+            Ng = blk["N_geom"]
+            ndof_f = N_u.shape[1]
+
+            def energy(u_f, x_f, nrm, qw=qw, N_u=N_u, dNg=dNg, Ng=Ng,
+                       ndof_f=ndof_f, term=term):
+                u = u_f.reshape(ndof_f, bs)
+                total = jnp.zeros((), dtype=u_f.dtype)
+                for q in range(qw.shape[0]):
+                    J = x_f.T @ jnp.asarray(dNg[q], dtype=u_f.dtype)
+                    # surface measure: |J| column norm (2D edge) or cross
+                    # product magnitude (3D facet)
+                    if J.shape[1] == 1:
+                        ds = jnp.linalg.norm(J[:, 0])
+                    else:
+                        c = jnp.cross(J[:, 0], J[:, 1])
+                        ds = jnp.linalg.norm(c)
+                    u_q = jnp.asarray(N_u[q], dtype=u_f.dtype) @ u
+                    x_q = jnp.asarray(Ng[q], dtype=u_f.dtype) @ x_f
+                    fqp = FacetQP(u_q[0] if bs == 1 else u_q, x_q, nrm, {})
+                    total = total + term.integrand(fqp) * jnp.asarray(
+                        qw[q], dtype=u_f.dtype
+                    ) * ds
+                return total
+
+            out.append((energy, blk["dofmap"], blk["x"], blk["normal"]))
+        return out
 
     # -- gathered per-cell inputs -------------------------------------------
 

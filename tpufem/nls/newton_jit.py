@@ -1,0 +1,108 @@
+"""Fully-jitted Newton-Krylov: the whole nonlinear solve as one XLA
+program.
+
+The eager ``NewtonSolver`` mirrors the reference's callback structure
+(good for observability); this module is the TPU fast path: Newton outer
+``lax.while_loop`` wrapping the CG inner ``lax.while_loop``, with the
+assembled ELL Jacobian (or the matrix-free JVP action) and Jacobi/
+Chebyshev preconditioning all fused by XLA. Dirichlet handling uses the
+"BCs-in-initial-guess" formulation the reference documents but leaves
+off (FEniCSx/mechanic2d/asym_elasto_damage_model.cc:665-668): with
+u0[bc] = g the lifting term J·(g−u) vanishes identically, so each step
+solves Â δ = −M F(u) with δ[bc] = 0 — same fixed point, no extra JVP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpufem.assemble.assembler import Assembler
+from tpufem.config import SolverConfig
+from tpufem.la.cg import cg
+from tpufem.la.precond import chebyshev_preconditioner, jacobi_preconditioner
+
+
+class JitSolveResult(NamedTuple):
+    u: jnp.ndarray
+    newton_iters: jnp.ndarray
+    final_residual: jnp.ndarray
+    r0: jnp.ndarray
+    converged: jnp.ndarray
+    total_cg_iters: jnp.ndarray
+
+
+def make_newton_solver(
+    asm: Assembler,
+    cfg: Optional[SolverConfig] = None,
+    *,
+    use_matrix: bool = True,
+    dot=None,
+    jit: bool = True,
+):
+    """Build solve(u0, coeffs) → JitSolveResult, fully on device.
+
+    ``use_matrix=True`` assembles the ELL Jacobian once per Newton
+    iteration and runs CG on its matvec (the reference's assembled-PETSc
+    path); ``False`` uses the matrix-free JVP action (BASELINE.json
+    config 3 path).
+    """
+    cfg = cfg or SolverConfig()
+    if dot is None:
+        dot = lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+    def solve(u0, coeffs):
+        u0 = asm.set_bc(u0)
+        free = asm.free_mask(u0.dtype)
+
+        def rhs(u):
+            return -asm.residual(u, coeffs) * free
+
+        def newton_cond(state):
+            u, b, bnorm, r0, it, cg_tot = state
+            keep = (bnorm >= jnp.maximum(cfg.newton_rtol * r0, cfg.newton_atol))
+            return keep & (it < cfg.newton_maxit)
+
+        def newton_body(state):
+            u, b, bnorm, r0, it, cg_tot = state
+            if use_matrix:
+                mat = asm.matrix(u, coeffs)
+                A = mat.matvec
+                diag = mat.diagonal()
+            else:
+                A = asm.constrained_action(u, coeffs)
+                diag = asm.diagonal(u, coeffs)
+            if cfg.preconditioner == "jacobi":
+                M = jacobi_preconditioner(diag)
+            elif cfg.preconditioner == "chebyshev":
+                M = chebyshev_preconditioner(A, diag)
+            else:
+                M = None
+            res = cg(
+                A, b, M=M, rtol=cfg.cg_rtol, atol=cfg.cg_atol,
+                maxit=cfg.cg_maxit, dot=dot,
+            )
+            u = u + res.x
+            b_new = rhs(u)
+            bnorm_new = jnp.sqrt(dot(b_new, b_new))
+            return (u, b_new, bnorm_new, r0, it + 1, cg_tot + res.iters)
+
+        b0 = rhs(u0)
+        r0 = jnp.sqrt(dot(b0, b0))
+        state = (
+            u0, b0, r0, r0,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        )
+        u, b, bnorm, r0, it, cg_tot = jax.lax.while_loop(
+            newton_cond, newton_body, state
+        )
+        converged = bnorm < jnp.maximum(cfg.newton_rtol * r0, cfg.newton_atol)
+        return JitSolveResult(
+            u=u, newton_iters=it, final_residual=bnorm, r0=r0,
+            converged=converged, total_cg_iters=cg_tot,
+        )
+
+    return jax.jit(solve) if jit else solve

@@ -1,0 +1,419 @@
+"""Sharded assembly + Newton-Krylov solve over a device mesh.
+
+The distributed execution model (SURVEY.md §2.4 TPU mapping):
+
+- one mesh shard per device, all shard arrays padded to uniform shapes;
+- ``shard_map`` over a 1-D ``jax.sharding.Mesh`` wraps the whole solve;
+- scatter_fwd (owner→ghost insert) and scatter_rev (ghost→owner add) —
+  the dolfinx IndexMap/PETSc VecGhostUpdate pair
+  (FEniCSx/mechanic2d/asym_elasto_damage_model.cc:390-397, 830-831,
+  864-867) — are ``jax.lax.all_to_all`` steps over static padded index
+  plans;
+- global dots/norms are masked local dots + ``jax.lax.psum`` (the
+  VecNorm/MPI_Allreduce of the reference, :873-874);
+- the CG operator applies precomputed per-cell element matrices
+  (batched small matmuls → MXU) + halo exchange, re-linearized once per
+  Newton step — the assemble-once-per-step structure of the reference's
+  setJ (:847-861) without a global sparse matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tpufem.config import INDEX_DTYPE, SolverConfig
+from tpufem.forms.form import EnergyFunctional
+from tpufem.parallel.partition import MeshPartition, partition_mesh
+from tpufem.spaces.bc import DirichletBC, combine_bcs
+
+AXIS = "shard"
+
+
+def _expand_vec(idx: np.ndarray, bs: int) -> np.ndarray:
+    """Scalar-dof index plan → vector-dof plan (byVDIM), preserving -1."""
+    out = idx[..., None] * bs + np.arange(bs)
+    out = np.where(idx[..., None] < 0, -1, out)
+    return out.reshape(*idx.shape[:-1], idx.shape[-1] * bs).astype(INDEX_DTYPE)
+
+
+class DistributedProblem:
+    """A functional + BCs partitioned over ``n_shards`` devices."""
+
+    def __init__(
+        self,
+        functional: EnergyFunctional,
+        bcs: Sequence[DirichletBC],
+        n_shards: int,
+        *,
+        devices: Optional[Sequence] = None,
+        partition: Optional[MeshPartition] = None,
+    ):
+        self.functional = functional
+        space = functional.space
+        self.space = space
+        bs = space.bs
+        self.bs = bs
+        part = partition or partition_mesh(space, n_shards)
+        self.part = part
+        S, C = part.n_shards, part.n_cells_max
+        ndofe = space.element.ndof
+        nd = ndofe * bs
+        self.Lv = part.local_size * bs
+        self.n_owned_vec = part.n_owned_max * bs
+
+        # per-shard vector dofmap in local numbering
+        cl = part.cells_local.astype(np.int64)
+        cells_vec = (
+            cl[..., None] * bs + np.arange(bs)[None, None, None, :]
+        ).reshape(S, C, nd)
+        self.cells_vec = jnp.asarray(cells_vec.astype(INDEX_DTYPE))
+        self.cell_mask = jnp.asarray(part.cell_mask)
+
+        # geometry per cell (padding cells get the reference simplex/cube
+        # so the Jacobian stays invertible; results are masked anyway)
+        mesh = space.mesh
+        nvg = mesh.cells.shape[1]
+        gdim = mesh.gdim
+        x_cells = np.zeros((S, C, nvg, gdim))
+        ref = np.zeros((nvg, gdim))
+        dim = min(gdim, nvg - 1)
+        for i in range(nvg):
+            # generic nondegenerate placement: unit steps
+            for d in range(gdim):
+                ref[i, d] = (i >> d) & 1 if nvg == 2**gdim else 0.0
+        if nvg == gdim + 1:  # simplex
+            ref[1:, :] = np.eye(gdim)
+        x_cells[:] = ref
+        for s in range(S):
+            sel = part.cell_global[s] >= 0
+            gcells = part.cell_global[s][sel].astype(np.int64)
+            x_cells[s, : sel.sum()] = mesh.x[mesh.cells[gcells]]
+        self.x_cells = jnp.asarray(x_cells)
+
+        # residual scatter plan per shard (sorted segment-sum)
+        perm = np.zeros((S, C * nd), dtype=INDEX_DTYPE)
+        segs = np.zeros((S, C * nd), dtype=INDEX_DTYPE)
+        for s in range(S):
+            flat = cells_vec[s].ravel()
+            p = np.argsort(flat, kind="stable")
+            perm[s] = p
+            segs[s] = flat[p]
+        self.r_perm = jnp.asarray(perm)
+        self.r_segs = jnp.asarray(segs)
+
+        # halo plans (vector granularity)
+        self.send_idx = jnp.asarray(_expand_vec(part.send_idx, bs))  # (S,T,Kb)
+        recv_place = part.recv_idx.transpose(1, 0, 2)  # (S=receiver, T, K)
+        self.recv_place = jnp.asarray(_expand_vec(recv_place, bs))
+        self.halo_K = self.send_idx.shape[-1]
+
+        # masks
+        owned_vec = np.repeat(part.owned_mask, bs, axis=1).reshape(S, -1)
+        self.owned_vec = jnp.asarray(owned_vec.astype(np.float64))
+
+        # BCs in local numbering
+        n_dofs = space.n_dofs
+        if bcs:
+            _, _, bc_mask = combine_bcs(bcs, n_dofs)
+            bc_vals_g = np.zeros(n_dofs)
+            d_, v_, _ = combine_bcs(bcs, n_dofs)
+            bc_vals_g[d_] = v_
+        else:
+            bc_mask = np.zeros(n_dofs, dtype=bool)
+            bc_vals_g = np.zeros(n_dofs)
+        l2g_vec = (
+            part.local_to_global[..., None] * bs + np.arange(bs)
+        ).reshape(S, -1)
+        valid = part.local_to_global[..., None] >= 0
+        valid = np.broadcast_to(valid, (*part.local_to_global.shape, bs)).reshape(S, -1)
+        l2g_vec = np.where(valid, l2g_vec, 0)
+        free = np.where(valid, ~bc_mask[l2g_vec], True)
+        self.free_local = jnp.asarray(free.astype(np.float64))  # (S, Lv)
+        self.bc_vals_local = jnp.asarray(
+            np.where(valid & bc_mask[l2g_vec], bc_vals_g[l2g_vec], 0.0)
+        )
+        self.l2g_vec = l2g_vec
+        self.l2g_valid = valid
+
+        # energy kernel
+        self._energy_fn = functional.element_energy_fn()
+
+        # device mesh
+        devs = list(devices) if devices is not None else jax.devices()[:n_shards]
+        if len(devs) < n_shards:
+            raise ValueError(
+                f"need {n_shards} devices, have {len(devs)}"
+            )
+        self.device_mesh = DeviceMesh(np.array(devs), (AXIS,))
+
+    # -- host-side shard/unshard ------------------------------------------------
+
+    def shard_vector(self, u_global: np.ndarray) -> jnp.ndarray:
+        """Global (n_dofs,) → sharded local (S, Lv) with ghost values set."""
+        u = np.asarray(u_global)
+        out = np.where(self.l2g_valid, u[self.l2g_vec], 0.0)
+        return jnp.asarray(out)
+
+    def unshard_vector(self, u_local) -> np.ndarray:
+        """Sharded local (S, Lv) → global (n_dofs,) from owned entries."""
+        ul = np.asarray(u_local)
+        out = np.zeros(self.space.n_dofs, dtype=ul.dtype)
+        ow = np.asarray(self.owned_vec, dtype=bool)
+        sel = ow & self.l2g_valid
+        out[self.l2g_vec[sel]] = ul[sel]
+        return out
+
+    def shard_coeffs(self, coeffs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Pre-gather coefficient *values* per cell per shard: since
+        coefficients are frozen during a solve, no coefficient halo is
+        needed at runtime (the quadrature-cache trick of MFEM/...cc:
+        1317-1324, distributed)."""
+        out = {}
+        cg = np.asarray(self.part.cell_global)
+        for c in self.functional.coefficients:
+            vals = np.asarray(coeffs[c.name])
+            dm = c.space.vector_dofmap()  # (nc, ndc)
+            per_cell = vals[dm]  # (nc, ndc)
+            shp = (self.part.n_shards, self.part.n_cells_max, dm.shape[1])
+            arr = np.zeros(shp, dtype=vals.dtype)
+            for s in range(self.part.n_shards):
+                sel = cg[s] >= 0
+                arr[s, : sel.sum()] = per_cell[cg[s][sel]]
+            out[c.name] = jnp.asarray(arr)
+        return out
+
+    # -- device-side pieces (called inside shard_map; arrays are per-shard) ----
+
+    def _halo_fwd(self, u, send_idx, recv_place):
+        """Owner → ghost insert (scatter_fwd)."""
+        T, Kb = send_idx.shape
+        safe_send = jnp.where(send_idx >= 0, send_idx, 0)
+        buf = u[safe_send] * (send_idx >= 0)
+        recv = jax.lax.all_to_all(buf, AXIS, split_axis=0, concat_axis=0, tiled=False)
+        # recv row t = what shard t sent to me; place into ghost slots
+        tgt = jnp.where(recv_place >= 0, recv_place, self.Lv)
+        ext = jnp.concatenate([u, jnp.zeros(1, u.dtype)])
+        ext = ext.at[tgt.ravel()].set(recv.ravel(), mode="drop")
+        return ext[: self.Lv]
+
+    def _halo_rev_add(self, r, send_idx, recv_place):
+        """Ghost → owner add (scatter_rev(plus)), then zero ghosts."""
+        safe_place = jnp.where(recv_place >= 0, recv_place, 0)
+        buf = r[safe_place] * (recv_place >= 0)
+        recv = jax.lax.all_to_all(buf, AXIS, split_axis=0, concat_axis=0, tiled=False)
+        tgt = jnp.where(send_idx >= 0, send_idx, self.Lv)
+        ext = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+        ext = ext.at[tgt.ravel()].add(recv.ravel(), mode="drop")
+        out = ext[: self.Lv]
+        # zero the ghost region (owner now holds the sum)
+        return out * self.owned_local_template(out.dtype)
+
+    def owned_local_template(self, dtype):
+        # (Lv,) per-shard owned mask — inside shard_map the (S, Lv) array
+        # appears as its (Lv,) block, so this is resolved by closure of the
+        # sharded operand; handled in the shard_map body instead.
+        raise RuntimeError("placeholder — masked inside shard_map body")
+
+    # -- solver factory ----------------------------------------------------------
+
+    def make_solver(self, cfg: Optional[SolverConfig] = None):
+        """Returns jitted solve(u_local, coeff_cells) → (u_local, stats);
+        everything (Newton + CG + halo) in one XLA program over the mesh."""
+        cfg = cfg or SolverConfig()
+        energy_fn = self._energy_fn
+        Lv = self.Lv
+        nd = self.cells_vec.shape[-1]
+
+        def local_residual(u, cells_vec, x_cells, coeff_cells, cell_mask,
+                           r_perm, r_segs):
+            u_cells = u[cells_vec]
+            g = jax.vmap(jax.grad(energy_fn), in_axes=(0, 0, 0))
+            ev = g(u_cells, x_cells.astype(u.dtype), coeff_cells)
+            ev = ev * cell_mask[:, None]
+            vals = ev.ravel()[r_perm]
+            return jax.ops.segment_sum(
+                vals, r_segs, num_segments=Lv, indices_are_sorted=True
+            )
+
+        def local_element_matrices(u, cells_vec, x_cells, coeff_cells,
+                                   cell_mask):
+            u_cells = u[cells_vec]
+            h = jax.vmap(jax.hessian(energy_fn), in_axes=(0, 0, 0))
+            em = h(u_cells, x_cells.astype(u.dtype), coeff_cells)
+            return em * cell_mask[:, None, None]
+
+        def body(u0, cells_vec, x_cells, cell_mask, r_perm, r_segs,
+                 send_idx, recv_place, owned, free, bc_vals, coeff_cells):
+            send_idx = send_idx[0]
+            recv_place = recv_place[0]
+            u0 = u0[0]
+            cells_vec = cells_vec[0]
+            x_cells = x_cells[0]
+            cell_mask = cell_mask[0].astype(u0.dtype)
+            r_perm = r_perm[0]
+            r_segs = r_segs[0]
+            owned = owned[0]
+            free = free[0]
+            bc_vals = bc_vals[0]
+            coeff_cells = {k: v[0] for k, v in coeff_cells.items()}
+
+            def halo_fwd(u):
+                safe = jnp.where(send_idx >= 0, send_idx, 0)
+                buf = u[safe] * (send_idx >= 0)
+                recv = jax.lax.all_to_all(
+                    buf, AXIS, split_axis=0, concat_axis=0
+                )
+                tgt = jnp.where(recv_place >= 0, recv_place, Lv)
+                ext = jnp.concatenate([u, jnp.zeros(1, u.dtype)])
+                ext = ext.at[tgt.ravel()].set(recv.ravel(), mode="drop")
+                return ext[:Lv]
+
+            def halo_rev(r):
+                safe = jnp.where(recv_place >= 0, recv_place, 0)
+                buf = r[safe] * (recv_place >= 0)
+                recv = jax.lax.all_to_all(
+                    buf, AXIS, split_axis=0, concat_axis=0
+                )
+                tgt = jnp.where(send_idx >= 0, send_idx, Lv)
+                ext = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+                ext = ext.at[tgt.ravel()].add(recv.ravel(), mode="drop")
+                return ext[:Lv] * owned
+
+            def pdot(a, b):
+                return jax.lax.psum(
+                    jnp.dot(a * owned, b * owned,
+                            precision=jax.lax.Precision.HIGHEST),
+                    AXIS,
+                )
+
+            def residual(u):
+                # u: owned entries authoritative; refresh ghosts first
+                u = halo_fwd(u)
+                r = local_residual(
+                    u, cells_vec, x_cells, coeff_cells, cell_mask,
+                    r_perm, r_segs,
+                )
+                return halo_rev(r)
+
+            def rhs(u):
+                return -residual(u) * free
+
+            # impose BCs on the initial state (lifting-free formulation,
+            # see tpufem.nls.newton_jit)
+            u = jnp.where(free > 0, u0, bc_vals)
+            u = halo_fwd(u)
+
+            def cg_solve(em, b, diag_inv):
+                def A(v):
+                    vg = halo_fwd(v * free)
+                    vc = vg[cells_vec]
+                    av = jnp.einsum("cij,cj->ci", em, vc)
+                    vals = av.ravel()[r_perm]
+                    y = jax.ops.segment_sum(
+                        vals, r_segs, num_segments=Lv,
+                        indices_are_sorted=True,
+                    )
+                    y = halo_rev(y)
+                    return y * free + v * (1.0 - free) * owned
+
+                def M(r):
+                    return r * diag_inv
+
+                x0 = jnp.zeros_like(b)
+                r0 = b - A(x0)
+                z0 = M(r0)
+                rz0 = pdot(r0, z0)
+                bnorm2 = pdot(b, b)
+                tol2 = jnp.maximum(
+                    cfg.cg_rtol * jnp.sqrt(bnorm2), cfg.cg_atol
+                ) ** 2
+
+                def cond(st):
+                    _, r, _, _, rz, k = st
+                    return (pdot(r, r) > tol2) & (k < cfg.cg_maxit)
+
+                def bdy(st):
+                    x, r, z, p, rz, k = st
+                    Ap = A(p)
+                    alpha = rz / pdot(p, Ap)
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    z = M(r)
+                    rz_new = pdot(r, z)
+                    p = z + (rz_new / rz) * p
+                    return (x, r, z, p, rz_new, k + 1)
+
+                st = (x0, r0, z0, z0, rz0, jnp.zeros((), jnp.int32))
+                x, r, _, _, _, k = jax.lax.while_loop(cond, bdy, st)
+                return x, k
+
+            def newton_cond(st):
+                u, b, bn, r0, it, cgt = st
+                keep = bn >= jnp.maximum(cfg.newton_rtol * r0, cfg.newton_atol)
+                return keep & (it < cfg.newton_maxit)
+
+            def newton_body(st):
+                u, b, bn, r0, it, cgt = st
+                ug = halo_fwd(u)
+                em = local_element_matrices(
+                    ug, cells_vec, x_cells, coeff_cells, cell_mask
+                )
+                # Jacobi diagonal: element diag scatter + halo reduce
+                ed = jnp.diagonal(em, axis1=1, axis2=2)
+                dvals = ed.ravel()[r_perm]
+                diag = jax.ops.segment_sum(
+                    dvals, r_segs, num_segments=Lv, indices_are_sorted=True
+                )
+                diag = halo_rev(diag)
+                diag = diag * free + (1.0 - free)
+                diag_inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+                delta, k = cg_solve(em, b, diag_inv)
+                u = u + delta * free
+                b_new = rhs(u)
+                bn_new = jnp.sqrt(pdot(b_new, b_new))
+                return (u, b_new, bn_new, r0, it + 1, cgt + k)
+
+            b0 = rhs(u)
+            r0 = jnp.sqrt(pdot(b0, b0))
+            st = (u, b0, r0, r0, jnp.zeros((), jnp.int32),
+                  jnp.zeros((), jnp.int32))
+            u, b, bn, r0, it, cgt = jax.lax.while_loop(
+                newton_cond, newton_body, st
+            )
+            u = halo_fwd(u)
+            stats = jnp.stack(
+                [it.astype(u.dtype), bn, r0, cgt.astype(u.dtype)]
+            )
+            return u[None], stats[None]
+
+        mesh = self.device_mesh
+        sh = NamedSharding(mesh, P(AXIS))
+
+        inner = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(AXIS),) * 11 + (P(AXIS),),
+            out_specs=(P(AXIS), P(AXIS)),
+            check_rep=False,
+        )
+
+        @jax.jit
+        def solve(u_local, coeff_cells):
+            u, stats = inner(
+                u_local, self.cells_vec, self.x_cells,
+                self.cell_mask, self.r_perm, self.r_segs,
+                self.send_idx, self.recv_place, self.owned_vec,
+                self.free_local, self.bc_vals_local, coeff_cells,
+            )
+            return u, stats
+
+        return solve
