@@ -27,6 +27,11 @@ REFERENCE_MDOF_S = 6.17e6 * 7 / (19.96 + 44.73) / 1e6  # ≈ 0.667 MDoF/s
 
 def main():
     import jax
+
+    # persistent compile cache: axon remote compiles take minutes per
+    # program; cache across bench invocations
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from tpufem.assemble import Assembler

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpufem.assemble.pattern import EllMatrix, SparsityPattern
+from tpufem.assemble.scatter import GatherSumPlan
 from tpufem.forms.form import EnergyFunctional
 from tpufem.spaces.bc import DirichletBC, combine_bcs
 
@@ -40,11 +41,9 @@ class Assembler:
         self._energy_fn = functional.element_energy_fn()
         self._facet_fns = functional.facet_energy_fns()
 
-        # residual scatter plan: sort element dof stream once
+        # residual reduction plan: gather-based (TPU scatters serialize)
         dm = np.asarray(functional.vec_dofmap)
-        flat = dm.ravel()
-        self._r_perm = jnp.asarray(np.argsort(flat, kind="stable"))
-        self._r_segs = jnp.asarray(flat[np.asarray(self._r_perm)])
+        self._r_plan = GatherSumPlan.build(dm.ravel(), self.n_dofs)
 
         # BCs
         self.bcs = list(bcs)
@@ -60,6 +59,7 @@ class Assembler:
 
         # sparsity (lazy)
         self._pattern: Optional[SparsityPattern] = None
+        self._nnz_plan: Optional[GatherSumPlan] = None
 
     # -- helpers -------------------------------------------------------------
 
@@ -76,6 +76,11 @@ class Assembler:
             self._pattern = SparsityPattern.from_dofmap(
                 np.asarray(self.functional.vec_dofmap), self.n_dofs
             )
+            # gather plan: element entry (cell,i,j) → nnz slot
+            pat = self._pattern
+            entry_slots = np.empty(len(pat.perm), dtype=np.int64)
+            entry_slots[np.asarray(pat.perm)] = np.asarray(pat.sorted_slots)
+            self._nnz_plan = GatherSumPlan.build(entry_slots, pat.nnz)
         return self._pattern
 
     # -- element-level batched kernels ----------------------------------------
@@ -117,11 +122,7 @@ class Assembler:
     def residual(self, u, coeffs) -> jnp.ndarray:
         """Assembled residual F(u) (no BC treatment)."""
         ev = self.element_vectors(u, coeffs)
-        vals = ev.ravel()[self._r_perm]
-        r = jax.ops.segment_sum(
-            vals, self._r_segs, num_segments=self.n_dofs,
-            indices_are_sorted=True,
-        )
+        r = self._r_plan.apply(ev)
         for fn, dofmap, x_f, nrm in self._facet_fns:
             fv = jax.vmap(jax.grad(fn), in_axes=(0, 0, 0))(
                 u[dofmap], x_f.astype(u.dtype), nrm.astype(u.dtype)
@@ -145,11 +146,7 @@ class Assembler:
         # exactly via JVP)
         pat = self.pattern
         em = self.element_matrices(u, coeffs)
-        vals = em.ravel()[jnp.asarray(pat.perm)]
-        nnz_vals = jax.ops.segment_sum(
-            vals, jnp.asarray(pat.sorted_slots), num_segments=pat.nnz,
-            indices_are_sorted=True,
-        )
+        nnz_vals = self._nnz_plan.apply(em)
         rows = jnp.asarray(pat.rows)
         cols = jnp.asarray(pat.cols)
         if len(self.bc_dofs):
@@ -171,11 +168,7 @@ class Assembler:
         matrix: element Hessian diagonals scattered; 1.0 on bc dofs."""
         em = self.element_matrices(u, coeffs)
         ed = jnp.diagonal(em, axis1=1, axis2=2)  # (nc, ndofe)
-        vals = ed.ravel()[self._r_perm]
-        diag = jax.ops.segment_sum(
-            vals, self._r_segs, num_segments=self.n_dofs,
-            indices_are_sorted=True,
-        )
+        diag = self._r_plan.apply(ed)
         if len(self.bc_dofs):
             free = self.free_mask(diag.dtype)
             diag = diag * free + (1.0 - free)

@@ -99,16 +99,20 @@ class DistributedProblem:
             x_cells[s, : sel.sum()] = mesh.x[mesh.cells[gcells]]
         self.x_cells = jnp.asarray(x_cells)
 
-        # residual scatter plan per shard (sorted segment-sum)
-        perm = np.zeros((S, C * nd), dtype=INDEX_DTYPE)
-        segs = np.zeros((S, C * nd), dtype=INDEX_DTYPE)
-        for s in range(S):
-            flat = cells_vec[s].ravel()
-            p = np.argsort(flat, kind="stable")
-            perm[s] = p
-            segs[s] = flat[p]
-        self.r_perm = jnp.asarray(perm)
-        self.r_segs = jnp.asarray(segs)
+        # residual reduction plan per shard: gather-based (TPU scatters
+        # serialize), padded to a uniform K across shards
+        from tpufem.assemble.scatter import GatherSumPlan
+
+        Lv = part.local_size * bs
+        plans = [
+            GatherSumPlan.build(cells_vec[s].ravel(), Lv) for s in range(S)
+        ]
+        K = max(p.idx.shape[1] for p in plans)
+        n_src = C * nd
+        gidx = np.full((S, Lv, K), n_src, dtype=INDEX_DTYPE)
+        for s, p in enumerate(plans):
+            gidx[s, :, : p.idx.shape[1]] = np.asarray(p.idx)
+        self.r_gather = jnp.asarray(gidx)
 
         # halo plans (vector granularity)
         self.send_idx = jnp.asarray(_expand_vec(part.send_idx, bs))  # (S,T,Kb)
@@ -233,16 +237,19 @@ class DistributedProblem:
         Lv = self.Lv
         nd = self.cells_vec.shape[-1]
 
+        def gather_sum(values, r_gather):
+            ext = jnp.concatenate(
+                [values.ravel(), jnp.zeros(1, dtype=values.dtype)]
+            )
+            return jnp.sum(ext[r_gather], axis=1)
+
         def local_residual(u, cells_vec, x_cells, coeff_cells, cell_mask,
-                           r_perm, r_segs):
+                           r_gather):
             u_cells = u[cells_vec]
             g = jax.vmap(jax.grad(energy_fn), in_axes=(0, 0, 0))
             ev = g(u_cells, x_cells.astype(u.dtype), coeff_cells)
             ev = ev * cell_mask[:, None]
-            vals = ev.ravel()[r_perm]
-            return jax.ops.segment_sum(
-                vals, r_segs, num_segments=Lv, indices_are_sorted=True
-            )
+            return gather_sum(ev, r_gather)
 
         def local_element_matrices(u, cells_vec, x_cells, coeff_cells,
                                    cell_mask):
@@ -251,7 +258,7 @@ class DistributedProblem:
             em = h(u_cells, x_cells.astype(u.dtype), coeff_cells)
             return em * cell_mask[:, None, None]
 
-        def body(u0, cells_vec, x_cells, cell_mask, r_perm, r_segs,
+        def body(u0, cells_vec, x_cells, cell_mask, r_gather,
                  send_idx, recv_place, owned, free, bc_vals, coeff_cells):
             send_idx = send_idx[0]
             recv_place = recv_place[0]
@@ -259,8 +266,7 @@ class DistributedProblem:
             cells_vec = cells_vec[0]
             x_cells = x_cells[0]
             cell_mask = cell_mask[0].astype(u0.dtype)
-            r_perm = r_perm[0]
-            r_segs = r_segs[0]
+            r_gather = r_gather[0]
             owned = owned[0]
             free = free[0]
             bc_vals = bc_vals[0]
@@ -299,8 +305,7 @@ class DistributedProblem:
                 # u: owned entries authoritative; refresh ghosts first
                 u = halo_fwd(u)
                 r = local_residual(
-                    u, cells_vec, x_cells, coeff_cells, cell_mask,
-                    r_perm, r_segs,
+                    u, cells_vec, x_cells, coeff_cells, cell_mask, r_gather,
                 )
                 return halo_rev(r)
 
@@ -317,11 +322,7 @@ class DistributedProblem:
                     vg = halo_fwd(v * free)
                     vc = vg[cells_vec]
                     av = jnp.einsum("cij,cj->ci", em, vc)
-                    vals = av.ravel()[r_perm]
-                    y = jax.ops.segment_sum(
-                        vals, r_segs, num_segments=Lv,
-                        indices_are_sorted=True,
-                    )
+                    y = gather_sum(av, r_gather)
                     y = halo_rev(y)
                     return y * free + v * (1.0 - free) * owned
 
@@ -369,10 +370,7 @@ class DistributedProblem:
                 )
                 # Jacobi diagonal: element diag scatter + halo reduce
                 ed = jnp.diagonal(em, axis1=1, axis2=2)
-                dvals = ed.ravel()[r_perm]
-                diag = jax.ops.segment_sum(
-                    dvals, r_segs, num_segments=Lv, indices_are_sorted=True
-                )
+                diag = gather_sum(ed, r_gather)
                 diag = halo_rev(diag)
                 diag = diag * free + (1.0 - free)
                 diag_inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
@@ -401,7 +399,7 @@ class DistributedProblem:
         inner = shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(AXIS),) * 11 + (P(AXIS),),
+            in_specs=(P(AXIS),) * 10 + (P(AXIS),),
             out_specs=(P(AXIS), P(AXIS)),
             check_rep=False,
         )
@@ -410,7 +408,7 @@ class DistributedProblem:
         def solve(u_local, coeff_cells):
             u, stats = inner(
                 u_local, self.cells_vec, self.x_cells,
-                self.cell_mask, self.r_perm, self.r_segs,
+                self.cell_mask, self.r_gather,
                 self.send_idx, self.recv_place, self.owned_vec,
                 self.free_local, self.bc_vals_local, coeff_cells,
             )
