@@ -1,0 +1,160 @@
+// tpufem native host runtime: mesh preprocessing kernels.
+//
+// TPU-native counterpart of the reference's C++ host-side mesh machinery
+// (dolfinx topology/dofmap construction and mfem mesh tables — reference
+// L2, SURVEY.md §2.3 item 4). The device compute path is XLA/Pallas; this
+// library covers the one-time host preprocessing that would otherwise be
+// NumPy: entity deduplication, scatter→gather plan transposition,
+// reverse Cuthill-McKee reordering, and Morton (SFC) ordering for
+// partition locality. Exposed as plain C symbols, loaded via ctypes
+// (no pybind11 in the image).
+//
+// Build: see tpufem/native.py (cc -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <queue>
+#include <vector>
+
+extern "C" {
+
+// Deduplicate candidate entities given as (n, nv) vertex tuples.
+// Writes: sorted-unique entities into out_entities ((n, nv), only the
+// first n_unique rows valid), and the candidate→unique map into
+// out_inverse (n). Rows must already be vertex-sorted. Returns n_unique.
+int64_t unique_entities(const int32_t* cand, int64_t n, int64_t nv,
+                        int32_t* out_entities, int64_t* out_inverse) {
+    std::vector<int64_t> order(n);
+    std::iota(order.begin(), order.end(), 0);
+    auto less = [cand, nv](int64_t a, int64_t b) {
+        const int32_t* ra = cand + a * nv;
+        const int32_t* rb = cand + b * nv;
+        for (int64_t k = 0; k < nv; ++k) {
+            if (ra[k] != rb[k]) return ra[k] < rb[k];
+        }
+        return false;
+    };
+    std::sort(order.begin(), order.end(), less);
+    auto equal = [cand, nv](int64_t a, int64_t b) {
+        return std::memcmp(cand + a * nv, cand + b * nv,
+                           nv * sizeof(int32_t)) == 0;
+    };
+    int64_t nu = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t e = order[i];
+        if (nu < 0 || !equal(order[i - 1], e)) {
+            ++nu;
+            std::memcpy(out_entities + nu * nv, cand + e * nv,
+                        nv * sizeof(int32_t));
+        }
+        out_inverse[e] = nu;
+    }
+    return nu + 1;
+}
+
+// Transpose a scatter: targets[e] = target row of source entry e.
+// Emits the (K, n_targets) gather table (pad = n_src) used by
+// GatherSumPlan (tpufem/assemble/scatter.py). Returns K.
+int64_t gather_plan(const int64_t* targets, int64_t n_src,
+                    int64_t n_targets, int32_t* out_idx /* K*n_targets */,
+                    int64_t max_k) {
+    std::vector<int32_t> counts(n_targets, 0);
+    for (int64_t e = 0; e < n_src; ++e) counts[targets[e]]++;
+    int64_t K = 0;
+    for (int64_t t = 0; t < n_targets; ++t) K = std::max<int64_t>(K, counts[t]);
+    if (K > max_k) return -K;  // caller must re-allocate
+    // fill column-wise: out_idx[k * n_targets + t]
+    for (int64_t i = 0; i < K * n_targets; ++i) out_idx[i] = (int32_t)n_src;
+    std::vector<int32_t> fill(n_targets, 0);
+    for (int64_t e = 0; e < n_src; ++e) {
+        int64_t t = targets[e];
+        out_idx[(int64_t)fill[t] * n_targets + t] = (int32_t)e;
+        fill[t]++;
+    }
+    return K;
+}
+
+// Reverse Cuthill-McKee ordering of an undirected graph in CSR form.
+// out_perm[new_index] = old_index. Handles disconnected graphs.
+void rcm_ordering(const int64_t* indptr, const int32_t* indices,
+                  int64_t n, int32_t* out_perm) {
+    std::vector<uint8_t> visited(n, 0);
+    std::vector<int32_t> order;
+    order.reserve(n);
+    std::vector<int32_t> nbrs;
+    for (int64_t start_scan = 0; start_scan < n;) {
+        // next unvisited node of minimum degree in this component scan
+        while (start_scan < n && visited[start_scan]) ++start_scan;
+        if (start_scan >= n) break;
+        // find min-degree unvisited node (global scan is fine: host-side,
+        // one-time)
+        int64_t best = start_scan;
+        int64_t best_deg = indptr[best + 1] - indptr[best];
+        for (int64_t v = start_scan; v < n; ++v) {
+            if (!visited[v]) {
+                int64_t d = indptr[v + 1] - indptr[v];
+                if (d < best_deg) { best = v; best_deg = d; }
+            }
+        }
+        std::queue<int32_t> q;
+        q.push((int32_t)best);
+        visited[best] = 1;
+        while (!q.empty()) {
+            int32_t v = q.front(); q.pop();
+            order.push_back(v);
+            nbrs.clear();
+            for (int64_t j = indptr[v]; j < indptr[v + 1]; ++j) {
+                int32_t w = indices[j];
+                if (!visited[w]) { visited[w] = 1; nbrs.push_back(w); }
+            }
+            std::sort(nbrs.begin(), nbrs.end(),
+                      [indptr](int32_t a, int32_t b) {
+                          return (indptr[a + 1] - indptr[a]) <
+                                 (indptr[b + 1] - indptr[b]);
+                      });
+            for (int32_t w : nbrs) q.push(w);
+        }
+    }
+    // reverse
+    for (int64_t i = 0; i < n; ++i) out_perm[i] = order[n - 1 - i];
+}
+
+// Morton (Z-curve) ordering of points in up to 3 dimensions.
+// out_order[rank] = point index.
+void morton_order(const double* coords, int64_t n, int64_t dim,
+                  int64_t* out_order) {
+    const int bits = 20;
+    double mins[3] = {0, 0, 0}, maxs[3] = {0, 0, 0};
+    for (int64_t d = 0; d < dim; ++d) {
+        mins[d] = maxs[d] = coords[d];
+    }
+    for (int64_t i = 1; i < n; ++i) {
+        for (int64_t d = 0; d < dim; ++d) {
+            double v = coords[i * dim + d];
+            mins[d] = std::min(mins[d], v);
+            maxs[d] = std::max(maxs[d], v);
+        }
+    }
+    std::vector<std::pair<uint64_t, int64_t>> keys(n);
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t code = 0;
+        uint64_t q[3] = {0, 0, 0};
+        for (int64_t d = 0; d < dim; ++d) {
+            double span = maxs[d] - mins[d];
+            double x = span > 0 ? (coords[i * dim + d] - mins[d]) / span : 0;
+            q[d] = (uint64_t)(x * ((1u << bits) - 1));
+        }
+        for (int b = 0; b < bits; ++b) {
+            for (int64_t d = 0; d < dim; ++d) {
+                code |= ((q[d] >> b) & 1ull) << (b * dim + d);
+            }
+        }
+        keys[i] = {code, i};
+    }
+    std::stable_sort(keys.begin(), keys.end());
+    for (int64_t i = 0; i < n; ++i) out_order[i] = keys[i].second;
+}
+
+}  // extern "C"

@@ -77,7 +77,8 @@ def test_cross_solver_validation():
         if np.linalg.norm(r[free]) < 1e-8 * max(1.0, np.linalg.norm(r)):
             break
         mat = asm.matrix(jnp.asarray(u), coeffs)
-        rows = np.repeat(np.arange(mat.n_rows), mat.cols.shape[1])
+        # EllMatrix is (width, n_rows): row id varies along the minor axis
+        rows = np.tile(np.arange(mat.n_rows), mat.cols.shape[0])
         A = sp.csr_matrix(
             (
                 np.asarray(mat.vals).ravel(),

@@ -41,9 +41,11 @@ class Assembler:
         self._energy_fn = functional.element_energy_fn()
         self._facet_fns = functional.facet_energy_fns()
 
-        # residual reduction plan: gather-based (TPU scatters serialize)
+        # residual reduction plan: gather-based (TPU scatters serialize).
+        # Element outputs are cells-minor (nd, nc): flat source index of
+        # entry (cell, slot) is slot*nc + cell → build from dm.T.
         dm = np.asarray(functional.vec_dofmap)
-        self._r_plan = GatherSumPlan.build(dm.ravel(), self.n_dofs)
+        self._r_plan = GatherSumPlan.build(dm.T.ravel(), self.n_dofs)
 
         # BCs
         self.bcs = list(bcs)
@@ -76,30 +78,36 @@ class Assembler:
             self._pattern = SparsityPattern.from_dofmap(
                 np.asarray(self.functional.vec_dofmap), self.n_dofs
             )
-            # gather plan: element entry (cell,i,j) → nnz slot
+            # gather plan: element-matrix entry → nnz slot, for the
+            # cells-minor (nd, nd, nc) layout: flat source of (c, i, j)
+            # is (i*nd + j)*nc + c
             pat = self._pattern
             entry_slots = np.empty(len(pat.perm), dtype=np.int64)
             entry_slots[np.asarray(pat.perm)] = np.asarray(pat.sorted_slots)
-            self._nnz_plan = GatherSumPlan.build(entry_slots, pat.nnz)
+            nc, nd = np.asarray(self.functional.vec_dofmap).shape
+            slots_T = entry_slots.reshape(nc, nd * nd).T.ravel()
+            self._nnz_plan = GatherSumPlan.build(slots_T, pat.nnz)
         return self._pattern
 
     # -- element-level batched kernels ----------------------------------------
 
     def element_vectors(self, u, coeffs: Dict[str, jnp.ndarray]):
-        """(nc, ndofe) element residual vectors = ∂Πe/∂u_e (the ffcx
-        'tabulate_tensor vector kernel' analog)."""
+        """(ndofe, nc) element residual vectors = ∂Πe/∂u_e (the ffcx
+        'tabulate_tensor vector kernel' analog), cells-minor layout."""
         u_cells = self.functional.gather(u)
         c_cells = self.functional.gather_coeffs(coeffs)
-        g = jax.vmap(jax.grad(self._energy_fn), in_axes=(0, 0, 0))
+        g = jax.vmap(jax.grad(self._energy_fn), in_axes=(-1, -1, -1),
+                     out_axes=-1)
         return g(u_cells, self.functional.x_cells.astype(u.dtype), c_cells)
 
     def element_matrices(self, u, coeffs: Dict[str, jnp.ndarray]):
-        """(nc, ndofe, ndofe) consistent element tangents = ∂²Πe/∂u_e²
+        """(ndofe, ndofe, nc) consistent element tangents = ∂²Πe/∂u_e²
         — replaces the nested-dual Hessian of admfem.hpp:672-699 and the
         hand-derived d(ψ)/dΛ tangents of MFEM/...cc:766-871."""
         u_cells = self.functional.gather(u)
         c_cells = self.functional.gather_coeffs(coeffs)
-        h = jax.vmap(jax.hessian(self._energy_fn), in_axes=(0, 0, 0))
+        h = jax.vmap(jax.hessian(self._energy_fn), in_axes=(-1, -1, -1),
+                     out_axes=-1)
         return h(u_cells, self.functional.x_cells.astype(u.dtype), c_cells)
 
     # -- global assembly -------------------------------------------------------
@@ -108,7 +116,7 @@ class Assembler:
         """Total potential Π(u) (useful for validation/line search)."""
         u_cells = self.functional.gather(u)
         c_cells = self.functional.gather_coeffs(coeffs)
-        e = jax.vmap(self._energy_fn, in_axes=(0, 0, 0))(
+        e = jax.vmap(self._energy_fn, in_axes=(-1, -1, -1))(
             u_cells, self.functional.x_cells.astype(u.dtype), c_cells
         )
         total = jnp.sum(e)
@@ -154,20 +162,22 @@ class Assembler:
             keep = free[rows] * free[cols]
             diag = (rows == cols) & (free[rows] == 0.0)
             nnz_vals = nnz_vals * keep + jnp.where(diag, 1.0, 0.0)
-        # scatter nnz slots into padded ELL layout
+        # scatter nnz slots into padded ELL layout (rows-minor)
         padded = jnp.concatenate(
             [nnz_vals, jnp.zeros(1, dtype=nnz_vals.dtype)]
         )
-        ell_vals = padded[jnp.asarray(pat.ell_slots)]
+        ell_vals = padded[jnp.asarray(pat.ell_slots.T)]
         return EllMatrix(
-            n_rows=pat.n_rows, cols=jnp.asarray(pat.ell_cols), vals=ell_vals
+            n_rows=pat.n_rows,
+            cols=jnp.asarray(np.ascontiguousarray(pat.ell_cols.T)),
+            vals=ell_vals,
         )
 
     def diagonal(self, u, coeffs) -> jnp.ndarray:
         """Jacobian diagonal (for Jacobi/Chebyshev PC) without forming the
         matrix: element Hessian diagonals scattered; 1.0 on bc dofs."""
         em = self.element_matrices(u, coeffs)
-        ed = jnp.diagonal(em, axis1=1, axis2=2)  # (nc, ndofe)
+        ed = jnp.diagonal(em, axis1=0, axis2=1).T  # (ndofe, nc)
         diag = self._r_plan.apply(ed)
         if len(self.bc_dofs):
             free = self.free_mask(diag.dtype)

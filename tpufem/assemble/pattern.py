@@ -83,25 +83,28 @@ class SparsityPattern:
 
 @dataclasses.dataclass
 class EllMatrix:
-    """Assembled sparse operator in ELL form (device arrays)."""
+    """Assembled sparse operator in ELL form (device arrays).
+
+    LAYOUT: (width, n_rows) — rows in the minor dimension so the x[cols]
+    gather and the multiply tile the vector lanes densely (see
+    tpufem.assemble.scatter for the measurement behind this choice).
+    """
 
     n_rows: int
-    cols: jnp.ndarray  # (n_rows, width) int32
-    vals: jnp.ndarray  # (n_rows, width)
+    cols: jnp.ndarray  # (width, n_rows) int32
+    vals: jnp.ndarray  # (width, n_rows)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A @ x as a dense gather + row reduction (TPU-friendly)."""
-        return jnp.sum(self.vals * x[self.cols], axis=1)
+        """y = A @ x as a dense gather + reduction (TPU-friendly)."""
+        return jnp.sum(self.vals * x[self.cols], axis=0)
 
     def diagonal(self) -> jnp.ndarray:
-        row_ids = jnp.arange(self.n_rows, dtype=self.cols.dtype)[:, None]
+        row_ids = jnp.arange(self.n_rows, dtype=self.cols.dtype)[None, :]
         on_diag = self.cols == row_ids
-        return jnp.sum(jnp.where(on_diag, self.vals, 0.0), axis=1)
+        return jnp.sum(jnp.where(on_diag, self.vals, 0.0), axis=0)
 
     def to_dense(self) -> jnp.ndarray:
         n = self.n_rows
         out = jnp.zeros((n, n), dtype=self.vals.dtype)
-        rows = jnp.repeat(
-            jnp.arange(n, dtype=self.cols.dtype), self.cols.shape[1]
-        )
+        rows = jnp.tile(jnp.arange(n, dtype=self.cols.dtype), self.cols.shape[0])
         return out.at[rows, self.cols.ravel()].add(self.vals.ravel())

@@ -195,10 +195,10 @@ def postprocess(asm: Assembler, u: jnp.ndarray, coeffs):
             energy,
         )
 
-    strain, stress, energy = jax.vmap(per_cell)(
-        u_cells, x_cells.astype(u.dtype), c_cells["d"], c_cells["E"]
-    )
-    return np.asarray(strain), np.asarray(stress), np.asarray(energy)
+    strain, stress, energy = jax.vmap(
+        per_cell, in_axes=(-1, -1, -1, -1), out_axes=(-1, -1, -1)
+    )(u_cells, x_cells.astype(u.dtype), c_cells["d"], c_cells["E"])
+    return np.asarray(strain).T, np.asarray(stress).T, np.asarray(energy)
 
 
 def run(cfg: Optional[Mechanic2DConfig] = None, mesh=None) -> Mechanic2DResult:

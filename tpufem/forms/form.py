@@ -123,11 +123,23 @@ class EnergyFunctional:
         self.coefficients = list(coefficients)
         mesh = space.mesh
         self.geom_element = make_element(mesh.cell_type, 1)
-        # static per-cell geometry (host → device once)
-        self._x_cells = jnp.asarray(mesh.x[mesh.cells])  # (nc, nvg, gdim)
-        self._vec_dofmap = jnp.asarray(space.vector_dofmap())  # (nc, ndof*bs)
-        self._coeff_dofmaps = {
-            c.name: jnp.asarray(c.space.vector_dofmap()) for c in self.coefficients
+        # static per-cell geometry (host → device once).
+        # LAYOUT: cells in the MINOR (last) dimension — on TPU the minor
+        # dim maps to the 128 vector lanes, so per-cell scalars tile
+        # densely; a (nc, 6) layout would waste 122/128 lanes per tile.
+        self._x_cells = jnp.asarray(
+            np.ascontiguousarray(mesh.x[mesh.cells].transpose(1, 2, 0))
+        )  # (nvg, gdim, nc)
+        vdm = space.vector_dofmap()
+        self._vec_dofmap = jnp.asarray(vdm)  # (nc, ndof*bs) — row order
+        self._vec_dofmap_T = jnp.asarray(
+            np.ascontiguousarray(vdm.T)
+        )  # (ndof*bs, nc) — gather directly into cells-minor layout
+        self._coeff_dofmaps_T = {
+            c.name: jnp.asarray(
+                np.ascontiguousarray(c.space.vector_dofmap().T)
+            )
+            for c in self.coefficients
         }
         # tabulations per term (static constants baked into the trace)
         self._tabs = []
@@ -305,23 +317,25 @@ class EnergyFunctional:
             out.append((energy, blk["dofmap"], blk["x"], blk["normal"]))
         return out
 
-    # -- gathered per-cell inputs -------------------------------------------
+    # -- gathered per-cell inputs (cells-minor layout) -----------------------
 
     def gather(self, u: jnp.ndarray):
-        """Per-cell dof blocks for u: (nc, ndof*bs)."""
-        return u[self._vec_dofmap]
+        """Per-cell dof blocks for u: (ndof*bs, nc)."""
+        return u[self._vec_dofmap_T]
 
     def gather_coeffs(self, coeff_values: Dict[str, jnp.ndarray]):
-        """Per-cell blocks for each coefficient: name → (nc, ndof_c*bs_c)."""
+        """Per-cell blocks per coefficient: name → (ndof_c*bs_c, nc)."""
         return {
             name: coeff_values[name][dm]
-            for name, dm in self._coeff_dofmaps.items()
+            for name, dm in self._coeff_dofmaps_T.items()
         }
 
     @property
     def x_cells(self):
+        """(nvg, gdim, nc) — cells minor."""
         return self._x_cells
 
     @property
     def vec_dofmap(self):
+        """(nc, ndof*bs) row-major dofmap (host-side plan building)."""
         return self._vec_dofmap

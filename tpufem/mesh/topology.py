@@ -30,7 +30,9 @@ def _unique_entities(cells: np.ndarray, local: Tuple[Tuple[int, ...], ...]):
     # (n_cells * n_local, nv) candidate entities, vertex-sorted per row
     cand = np.stack([cells[:, list(t)] for t in local], axis=1).reshape(-1, nv)
     cand = np.sort(cand, axis=1)
-    entities, inverse = np.unique(cand, axis=0, return_inverse=True)
+    from tpufem import native
+
+    entities, inverse = native.unique_entities(cand)
     cell_to_entity = inverse.reshape(n_cells, n_local).astype(INDEX_DTYPE)
     return entities.astype(INDEX_DTYPE), cell_to_entity
 

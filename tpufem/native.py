@@ -1,0 +1,156 @@
+"""ctypes bridge to the native host runtime (native/tpufem_native.cpp).
+
+Builds the shared library on first use with the system compiler and
+falls back to NumPy implementations when unavailable, so the framework
+stays importable everywhere. This is the counterpart of the reference's
+compiled mesh runtime (dolfinx C++ core / mfem tables — SURVEY.md §2.3
+item 4); the device compute path is XLA/Pallas and never touches this.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO, "native", "tpufem_native.cpp")
+_SO = os.path.join(_REPO, "native", "build", "libtpufem_native.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(
+                _SO
+            ) < os.path.getmtime(_SRC):
+                os.makedirs(os.path.dirname(_SO), exist_ok=True)
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-march=native", "-std=c++17",
+                        "-shared", "-fPIC", _SRC, "-o", _SO,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.unique_entities.restype = ctypes.c_int64
+            lib.gather_plan.restype = ctypes.c_int64
+            lib.rcm_ordering.restype = None
+            lib.morton_order.restype = None
+            _lib = lib
+        except Exception:
+            _build_failed = True
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def unique_entities(cand: np.ndarray):
+    """Sort-unique rows of a vertex-sorted (n, nv) int32 array.
+    Returns (unique (nu, nv), inverse (n,))."""
+    lib = _load()
+    cand = np.ascontiguousarray(cand, dtype=np.int32)
+    n, nv = cand.shape
+    if lib is None or n == 0:
+        uniq, inverse = np.unique(cand, axis=0, return_inverse=True)
+        return uniq.astype(np.int32), inverse.astype(np.int64).ravel()
+    out_e = np.empty((n, nv), dtype=np.int32)
+    out_inv = np.empty(n, dtype=np.int64)
+    nu = lib.unique_entities(
+        _ptr(cand, ctypes.c_int32), n, nv,
+        _ptr(out_e, ctypes.c_int32), _ptr(out_inv, ctypes.c_int64),
+    )
+    return out_e[:nu].copy(), out_inv
+
+
+def gather_plan(targets: np.ndarray, n_targets: int):
+    """Transposed scatter plan: returns (K, n_targets) int32 table with
+    pad == len(targets). See GatherSumPlan."""
+    lib = _load()
+    targets = np.ascontiguousarray(targets, dtype=np.int64).ravel()
+    n_src = targets.shape[0]
+    if lib is None or n_src == 0:
+        return None  # caller falls back to NumPy
+    counts = np.bincount(targets, minlength=n_targets)
+    K = int(counts.max()) if n_src else 1
+    out = np.empty((max(K, 1), n_targets), dtype=np.int32)
+    got = lib.gather_plan(
+        _ptr(targets, ctypes.c_int64), n_src, n_targets,
+        _ptr(out, ctypes.c_int32), max(K, 1),
+    )
+    assert got == K, (got, K)
+    return out
+
+
+def rcm_ordering(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee permutation (perm[new] = old)."""
+    lib = _load()
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    n = len(indptr) - 1
+    if lib is None:
+        return _rcm_numpy(indptr, indices, n)
+    out = np.empty(n, dtype=np.int32)
+    lib.rcm_ordering(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        n, _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def _rcm_numpy(indptr, indices, n):
+    visited = np.zeros(n, dtype=bool)
+    deg = np.diff(indptr)
+    order = []
+    while len(order) < n:
+        unv = np.nonzero(~visited)[0]
+        start = unv[np.argmin(deg[unv])]
+        queue = [int(start)]
+        visited[start] = True
+        while queue:
+            v = queue.pop(0)
+            order.append(v)
+            nbrs = [
+                int(w)
+                for w in indices[indptr[v] : indptr[v + 1]]
+                if not visited[w]
+            ]
+            for w in nbrs:
+                visited[w] = True
+            nbrs.sort(key=lambda w: deg[w])
+            queue.extend(nbrs)
+    return np.array(order[::-1], dtype=np.int32)
+
+
+def morton_order(coords: np.ndarray) -> np.ndarray:
+    """SFC ordering of points; returns order (rank → point index)."""
+    lib = _load()
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    n, dim = coords.shape
+    if lib is None:
+        from tpufem.parallel.partition import _morton_order
+
+        return _morton_order(coords).astype(np.int64)
+    out = np.empty(n, dtype=np.int64)
+    lib.morton_order(_ptr(coords, ctypes.c_double), n, dim,
+                     _ptr(out, ctypes.c_int64))
+    return out

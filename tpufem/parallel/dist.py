@@ -76,6 +76,10 @@ class DistributedProblem:
             cl[..., None] * bs + np.arange(bs)[None, None, None, :]
         ).reshape(S, C, nd)
         self.cells_vec = jnp.asarray(cells_vec.astype(INDEX_DTYPE))
+        # cells-minor gather table (see tpufem.assemble.scatter layout note)
+        self.cells_vec_T = jnp.asarray(
+            np.ascontiguousarray(cells_vec.transpose(0, 2, 1)).astype(INDEX_DTYPE)
+        )  # (S, nd, C)
         self.cell_mask = jnp.asarray(part.cell_mask)
 
         # geometry per cell (padding cells get the reference simplex/cube
@@ -97,21 +101,25 @@ class DistributedProblem:
             sel = part.cell_global[s] >= 0
             gcells = part.cell_global[s][sel].astype(np.int64)
             x_cells[s, : sel.sum()] = mesh.x[mesh.cells[gcells]]
-        self.x_cells = jnp.asarray(x_cells)
+        # (S, nvg, gdim, C): cells minor
+        self.x_cells = jnp.asarray(
+            np.ascontiguousarray(x_cells.transpose(0, 2, 3, 1))
+        )
 
         # residual reduction plan per shard: gather-based (TPU scatters
         # serialize), padded to a uniform K across shards
         from tpufem.assemble.scatter import GatherSumPlan
 
         Lv = part.local_size * bs
+        # source entry (cell, slot) flattens to slot*C + cell (cells minor)
         plans = [
-            GatherSumPlan.build(cells_vec[s].ravel(), Lv) for s in range(S)
+            GatherSumPlan.build(cells_vec[s].T.ravel(), Lv) for s in range(S)
         ]
-        K = max(p.idx.shape[1] for p in plans)
+        K = max(p.idx.shape[0] for p in plans)
         n_src = C * nd
-        gidx = np.full((S, Lv, K), n_src, dtype=INDEX_DTYPE)
+        gidx = np.full((S, K, Lv), n_src, dtype=INDEX_DTYPE)
         for s, p in enumerate(plans):
-            gidx[s, :, : p.idx.shape[1]] = np.asarray(p.idx)
+            gidx[s, : p.idx.shape[0], :] = np.asarray(p.idx)
         self.r_gather = jnp.asarray(gidx)
 
         # halo plans (vector granularity)
@@ -192,7 +200,10 @@ class DistributedProblem:
             for s in range(self.part.n_shards):
                 sel = cg[s] >= 0
                 arr[s, : sel.sum()] = per_cell[cg[s][sel]]
-            out[c.name] = jnp.asarray(arr)
+            # cells minor: (S, ndc, C)
+            out[c.name] = jnp.asarray(
+                np.ascontiguousarray(arr.transpose(0, 2, 1))
+            )
         return out
 
     # -- device-side pieces (called inside shard_map; arrays are per-shard) ----
@@ -241,29 +252,31 @@ class DistributedProblem:
             ext = jnp.concatenate(
                 [values.ravel(), jnp.zeros(1, dtype=values.dtype)]
             )
-            return jnp.sum(ext[r_gather], axis=1)
+            return jnp.sum(ext[r_gather], axis=0)
 
-        def local_residual(u, cells_vec, x_cells, coeff_cells, cell_mask,
+        def local_residual(u, cells_vec_T, x_cells, coeff_cells, cell_mask,
                            r_gather):
-            u_cells = u[cells_vec]
-            g = jax.vmap(jax.grad(energy_fn), in_axes=(0, 0, 0))
+            u_cells = u[cells_vec_T]  # (nd, C)
+            g = jax.vmap(jax.grad(energy_fn), in_axes=(-1, -1, -1),
+                         out_axes=-1)
             ev = g(u_cells, x_cells.astype(u.dtype), coeff_cells)
-            ev = ev * cell_mask[:, None]
+            ev = ev * cell_mask[None, :]
             return gather_sum(ev, r_gather)
 
-        def local_element_matrices(u, cells_vec, x_cells, coeff_cells,
+        def local_element_matrices(u, cells_vec_T, x_cells, coeff_cells,
                                    cell_mask):
-            u_cells = u[cells_vec]
-            h = jax.vmap(jax.hessian(energy_fn), in_axes=(0, 0, 0))
-            em = h(u_cells, x_cells.astype(u.dtype), coeff_cells)
-            return em * cell_mask[:, None, None]
+            u_cells = u[cells_vec_T]
+            h = jax.vmap(jax.hessian(energy_fn), in_axes=(-1, -1, -1),
+                         out_axes=-1)
+            em = h(u_cells, x_cells.astype(u.dtype), coeff_cells)  # (nd,nd,C)
+            return em * cell_mask[None, None, :]
 
-        def body(u0, cells_vec, x_cells, cell_mask, r_gather,
+        def body(u0, cells_vec_T, x_cells, cell_mask, r_gather,
                  send_idx, recv_place, owned, free, bc_vals, coeff_cells):
             send_idx = send_idx[0]
             recv_place = recv_place[0]
             u0 = u0[0]
-            cells_vec = cells_vec[0]
+            cells_vec_T = cells_vec_T[0]
             x_cells = x_cells[0]
             cell_mask = cell_mask[0].astype(u0.dtype)
             r_gather = r_gather[0]
@@ -305,7 +318,7 @@ class DistributedProblem:
                 # u: owned entries authoritative; refresh ghosts first
                 u = halo_fwd(u)
                 r = local_residual(
-                    u, cells_vec, x_cells, coeff_cells, cell_mask, r_gather,
+                    u, cells_vec_T, x_cells, coeff_cells, cell_mask, r_gather,
                 )
                 return halo_rev(r)
 
@@ -320,8 +333,8 @@ class DistributedProblem:
             def cg_solve(em, b, diag_inv):
                 def A(v):
                     vg = halo_fwd(v * free)
-                    vc = vg[cells_vec]
-                    av = jnp.einsum("cij,cj->ci", em, vc)
+                    vc = vg[cells_vec_T]  # (nd, C)
+                    av = jnp.einsum("ijc,jc->ic", em, vc)
                     y = gather_sum(av, r_gather)
                     y = halo_rev(y)
                     return y * free + v * (1.0 - free) * owned
@@ -366,10 +379,10 @@ class DistributedProblem:
                 u, b, bn, r0, it, cgt = st
                 ug = halo_fwd(u)
                 em = local_element_matrices(
-                    ug, cells_vec, x_cells, coeff_cells, cell_mask
+                    ug, cells_vec_T, x_cells, coeff_cells, cell_mask
                 )
-                # Jacobi diagonal: element diag scatter + halo reduce
-                ed = jnp.diagonal(em, axis1=1, axis2=2)
+                # Jacobi diagonal: element diag gather-sum + halo reduce
+                ed = jnp.diagonal(em, axis1=0, axis2=1).T  # (nd, C)
                 diag = gather_sum(ed, r_gather)
                 diag = halo_rev(diag)
                 diag = diag * free + (1.0 - free)
@@ -407,7 +420,7 @@ class DistributedProblem:
         @jax.jit
         def solve(u_local, coeff_cells):
             u, stats = inner(
-                u_local, self.cells_vec, self.x_cells,
+                u_local, self.cells_vec_T, self.x_cells,
                 self.cell_mask, self.r_gather,
                 self.send_idx, self.recv_place, self.owned_vec,
                 self.free_local, self.bc_vals_local, coeff_cells,
