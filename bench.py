@@ -69,21 +69,23 @@ def main():
         file=sys.stderr,
     )
 
+    # asm passed as a pytree argument (its tables must be buffer
+    # parameters, not program constants — see tpufem.utils.pytree)
     @jax.jit
-    def assembly_pass(u, d):
+    def assembly_pass(asm_, u, d):
         c = {"d": d}
-        r = asm.residual(u, c)
-        diag = asm.diagonal(u, c)
+        r = asm_.residual(u, c)
+        diag = asm_.diagonal(u, c)
         return r, diag
 
     u = jnp.zeros(V.n_dofs, dtype=dtype)
     # compile + warmup
-    r, diag = assembly_pass(u, coeffs["d"])
+    r, diag = assembly_pass(asm, u, coeffs["d"])
     jax.block_until_ready((r, diag))
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        r, diag = assembly_pass(u, coeffs["d"])
+        r, diag = assembly_pass(asm, u, coeffs["d"])
     jax.block_until_ready((r, diag))
     dt = (time.perf_counter() - t0) / reps
     mdof_s = V.n_dofs / dt / 1e6

@@ -36,8 +36,6 @@ def _elastic_assembler(mesh, bcs, degree=1, qdeg=None):
 def test_patch_test(degree, cell_type):
     """Affine displacement imposed on the whole boundary is reproduced
     exactly in the interior — the fundamental FEM consistency check."""
-    if cell_type == CellType.quad and degree == 2:
-        pytest.skip("Q2 not implemented yet")
     mesh = unit_square(4, cell_type=cell_type)
     V = FunctionSpace.create(mesh, degree, bs=2)
     A = np.array([[2e-3, 1e-3], [-5e-4, 3e-3]])

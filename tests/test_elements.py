@@ -117,3 +117,28 @@ def _exact_monomial(cell_type, alpha):
         num = prod(factorial(a) for a in alpha)
         return num / factorial(sum(alpha) + d)
     return prod(1.0 / (a + 1) for a in alpha)
+
+
+def test_q2_quad_nodal_and_quadratic_exact():
+    """Q2 quad: nodal property and exact reproduction of biquadratics."""
+    el = element(CellType.quad, 2)
+    nodes = np.array(
+        [[0, 0], [1, 0], [0, 1], [1, 1],
+         [0.5, 0], [0, 0.5], [1, 0.5], [0.5, 1], [0.5, 0.5]],
+        dtype=float,
+    )
+    N = el.tabulate(nodes)
+    assert np.allclose(N, np.eye(9), atol=1e-13)
+    # exact interpolation of f = x^2 y^2 + 3xy - 2y^2
+    f = lambda p: p[:, 0] ** 2 * p[:, 1] ** 2 + 3 * p[:, 0] * p[:, 1] - 2 * p[:, 1] ** 2
+    vals = f(nodes)
+    pts = _random_ref_points(CellType.quad, n=30, seed=7)
+    approx = el.tabulate(pts) @ vals
+    assert np.allclose(approx, f(pts), atol=1e-12)
+    # gradient finite difference
+    h = 1e-6
+    G = el.tabulate_grad(pts)
+    for d in range(2):
+        dp = np.zeros_like(pts); dp[:, d] = h
+        fd = (el.tabulate(pts + dp) - el.tabulate(pts - dp)) / (2 * h)
+        assert np.allclose(G[:, :, d], fd, atol=1e-8)

@@ -58,19 +58,26 @@ class Assembler:
         self.bc_dofs = jnp.asarray(bc_dofs)
         self.bc_vals_np = bc_vals
         self._free_mask_np = ~bc_mask
+        # device-resident copies (pytree leaves — never trace-time consts)
+        self._bc_vals_dev = jnp.asarray(bc_vals)
+        self._free_dev = jnp.asarray((~bc_mask).astype(np.float64))
 
-        # sparsity (lazy)
+        # sparsity (lazy; call .pattern before jit-tracing matrix())
         self._pattern: Optional[SparsityPattern] = None
         self._nnz_plan: Optional[GatherSumPlan] = None
+        self._ell_slots_T = None
+        self._ell_cols_T = None
+        self._pat_rows = None
+        self._pat_cols = None
 
     # -- helpers -------------------------------------------------------------
 
     def bc_values(self, dtype) -> jnp.ndarray:
-        return jnp.asarray(self.bc_vals_np, dtype=dtype)
+        return self._bc_vals_dev.astype(dtype)
 
     def free_mask(self, dtype) -> jnp.ndarray:
         """1.0 on unconstrained dofs, 0.0 on Dirichlet dofs."""
-        return jnp.asarray(self._free_mask_np.astype(np.float64), dtype=dtype)
+        return self._free_dev.astype(dtype)
 
     @property
     def pattern(self) -> SparsityPattern:
@@ -87,6 +94,15 @@ class Assembler:
             nc, nd = np.asarray(self.functional.vec_dofmap).shape
             slots_T = entry_slots.reshape(nc, nd * nd).T.ravel()
             self._nnz_plan = GatherSumPlan.build(slots_T, pat.nnz)
+            # device-resident ELL tables (rows-minor)
+            self._ell_slots_T = jnp.asarray(
+                np.ascontiguousarray(pat.ell_slots.T)
+            )
+            self._ell_cols_T = jnp.asarray(
+                np.ascontiguousarray(pat.ell_cols.T)
+            )
+            self._pat_rows = jnp.asarray(pat.rows)
+            self._pat_cols = jnp.asarray(pat.cols)
         return self._pattern
 
     # -- element-level batched kernels ----------------------------------------
@@ -155,8 +171,8 @@ class Assembler:
         pat = self.pattern
         em = self.element_matrices(u, coeffs)
         nnz_vals = self._nnz_plan.apply(em)
-        rows = jnp.asarray(pat.rows)
-        cols = jnp.asarray(pat.cols)
+        rows = self._pat_rows
+        cols = self._pat_cols
         if len(self.bc_dofs):
             free = self.free_mask(nnz_vals.dtype)
             keep = free[rows] * free[cols]
@@ -166,11 +182,9 @@ class Assembler:
         padded = jnp.concatenate(
             [nnz_vals, jnp.zeros(1, dtype=nnz_vals.dtype)]
         )
-        ell_vals = padded[jnp.asarray(pat.ell_slots.T)]
+        ell_vals = padded[self._ell_slots_T]
         return EllMatrix(
-            n_rows=pat.n_rows,
-            cols=jnp.asarray(np.ascontiguousarray(pat.ell_cols.T)),
-            vals=ell_vals,
+            n_rows=pat.n_rows, cols=self._ell_cols_T, vals=ell_vals
         )
 
     def diagonal(self, u, coeffs) -> jnp.ndarray:
@@ -229,3 +243,18 @@ class Assembler:
         if not len(self.bc_dofs):
             return u
         return u.at[self.bc_dofs].set(self.bc_values(u.dtype))
+
+
+from tpufem.utils.pytree import register_pytree_with_leaves
+
+# note: _facet_fns (closures over small facet arrays) stays in aux — the
+# facet tables are tiny; only bulk per-cell/per-dof tables need to be
+# argument leaves.
+register_pytree_with_leaves(
+    Assembler,
+    [
+        "functional", "_r_plan", "_nnz_plan", "bc_dofs",
+        "_bc_vals_dev", "_free_dev", "_ell_slots_T", "_ell_cols_T",
+        "_pat_rows", "_pat_cols",
+    ],
+)

@@ -108,3 +108,10 @@ class EllMatrix:
         out = jnp.zeros((n, n), dtype=self.vals.dtype)
         rows = jnp.tile(jnp.arange(n, dtype=self.cols.dtype), self.cols.shape[0])
         return out.at[rows, self.cols.ravel()].add(self.vals.ravel())
+
+
+jax.tree_util.register_pytree_node(
+    EllMatrix,
+    lambda m: ((m.cols, m.vals), m.n_rows),
+    lambda n_rows, leaves: EllMatrix(n_rows, *leaves),
+)

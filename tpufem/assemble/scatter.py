@@ -72,3 +72,12 @@ class GatherSumPlan:
             [values.ravel(), jnp.zeros(1, dtype=values.dtype)]
         )
         return jnp.sum(ext[self.idx], axis=0)
+
+
+import jax
+
+jax.tree_util.register_pytree_node(
+    GatherSumPlan,
+    lambda p: ((p.idx,), (p.n_targets, p.n_sources)),
+    lambda aux, leaves: GatherSumPlan(aux[0], aux[1], leaves[0]),
+)

@@ -188,6 +188,59 @@ def _q1_tensor(cell_type: str) -> Element:
     )
 
 
+def _q2_quad() -> Element:
+    """9-node biquadratic quad: 4 vertices + 4 edge midpoints + center.
+
+    Edge dof order follows CELL_EDGES[quad] = ((0,1),(0,2),(1,3),(2,3))
+    with tensor vertex order 0=(0,0) 1=(1,0) 2=(0,1) 3=(1,1).
+    """
+
+    def l1d(x):
+        # quadratic 1D nodal basis at nodes {0, 1, 1/2}
+        return (
+            2.0 * (x - 0.5) * (x - 1.0),  # node 0
+            2.0 * x * (x - 0.5),          # node 1
+            4.0 * x * (1.0 - x),          # midpoint
+        )
+
+    def dl1d(x):
+        return (4.0 * x - 3.0, 4.0 * x - 1.0, 4.0 - 8.0 * x)
+
+    # dof -> (ix, iy) into the 1D basis triplet (0, 1, m=2)
+    layout = [
+        (0, 0), (1, 0), (0, 1), (1, 1),  # vertices
+        (2, 0), (0, 2), (1, 2), (2, 1),  # edges (0,1),(0,2),(1,3),(2,3)
+        (2, 2),  # center
+    ]
+
+    def tab(p):
+        lx = np.stack(l1d(p[:, 0]), axis=1)  # (n, 3)
+        ly = np.stack(l1d(p[:, 1]), axis=1)
+        return np.stack([lx[:, i] * ly[:, j] for i, j in layout], axis=1)
+
+    def tab_grad(p):
+        lx = np.stack(l1d(p[:, 0]), axis=1)
+        ly = np.stack(l1d(p[:, 1]), axis=1)
+        dx = np.stack(dl1d(p[:, 0]), axis=1)
+        dy = np.stack(dl1d(p[:, 1]), axis=1)
+        g = np.zeros((len(p), 9, 2))
+        for k, (i, j) in enumerate(layout):
+            g[:, k, 0] = dx[:, i] * ly[:, j]
+            g[:, k, 1] = lx[:, i] * dy[:, j]
+        return g
+
+    return Element(
+        cell_type=CellType.quad,
+        degree=2,
+        ndof=9,
+        entity_dofs=tuple(
+            [(0, i) for i in range(4)] + [(1, i) for i in range(4)] + [(2, 0)]
+        ),
+        _tab=tab,
+        _tab_grad=tab_grad,
+    )
+
+
 @lru_cache(maxsize=None)
 def element(cell_type: str, degree: int) -> Element:
     """Factory: Lagrange element of given degree on cell_type."""
@@ -201,6 +254,8 @@ def element(cell_type: str, degree: int) -> Element:
     if cell_type in (CellType.quad, CellType.hexahedron):
         if degree == 1:
             return _q1_tensor(cell_type)
+        if degree == 2 and cell_type == CellType.quad:
+            return _q2_quad()
     if degree == 0:
         # DG0: single dof at centroid (used for strain/stress output,
         # FEniCSx/...cc:918-923 creates a discontinuous degree-0 space)

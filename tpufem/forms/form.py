@@ -131,7 +131,7 @@ class EnergyFunctional:
             np.ascontiguousarray(mesh.x[mesh.cells].transpose(1, 2, 0))
         )  # (nvg, gdim, nc)
         vdm = space.vector_dofmap()
-        self._vec_dofmap = jnp.asarray(vdm)  # (nc, ndof*bs) — row order
+        self._vec_dofmap = vdm  # (nc, ndof*bs) host-side (plan building)
         self._vec_dofmap_T = jnp.asarray(
             np.ascontiguousarray(vdm.T)
         )  # (ndof*bs, nc) — gather directly into cells-minor layout
@@ -162,8 +162,10 @@ class EnergyFunctional:
             }
             self._tabs.append(tab)
 
-        # facet-term static data: dofmaps, geometry, outward normals
-        self._facet_blocks = []
+        # facet-term data: static tabulations + device arrays (separate so
+        # the arrays can be pytree leaves — see tpufem.utils.pytree)
+        self._facet_static = []
+        self._facet_arrays = []
         if self.facet_terms:
             from tpufem.mesh.mesh import CELL_INFO
             from tpufem.mesh.topology import build_entities, facet_to_cells
@@ -208,16 +210,20 @@ class EnergyFunctional:
                     fd[..., None] * space.bs + np.arange(space.bs)
                 ).reshape(len(fidx), -1)
                 qpts, qwts = quadrature(facet_type, ft.degree)
-                self._facet_blocks.append(
+                self._facet_static.append(
                     dict(
                         term=ft,
-                        dofmap=jnp.asarray(fd_vec.astype(np.int64)),
-                        x=jnp.asarray(x_f),
-                        normal=jnp.asarray(nrm),
                         qw=qwts,
                         N_u=f_el_deg.tabulate(qpts),  # (nq, ndof_f)
                         N_geom=f_el.tabulate(qpts),  # (nq, nvf)
                         dN_geom=f_el.tabulate_grad(qpts),  # (nq, nvf, dim-1)
+                    )
+                )
+                self._facet_arrays.append(
+                    (
+                        jnp.asarray(fd_vec.astype(np.int64)),
+                        jnp.asarray(x_f),
+                        jnp.asarray(nrm),
                     )
                 )
 
@@ -240,6 +246,12 @@ class EnergyFunctional:
         coeff_ndof = {c.name: c.space.element.ndof for c in self.coefficients}
 
         def energy(u_e, x_e, coeff_es):
+            # full f32 accumulation: TPU matmuls default to bf16 inputs,
+            # which costs ~3 digits in assembled residuals
+            with jax.default_matmul_precision("float32"):
+                return _energy(u_e, x_e, coeff_es)
+
+        def _energy(u_e, x_e, coeff_es):
             u = u_e.reshape(ndof, bs)
             total = jnp.zeros((), dtype=u_e.dtype)
             for t, tab in zip(terms, tabs):
@@ -287,7 +299,7 @@ class EnergyFunctional:
         """
         out = []
         bs = self.space.bs
-        for blk in self._facet_blocks:
+        for blk, arrs in zip(self._facet_static, self._facet_arrays):
             term = blk["term"]
             qw, N_u, dNg = blk["qw"], blk["N_u"], blk["dN_geom"]
             Ng = blk["N_geom"]
@@ -314,7 +326,7 @@ class EnergyFunctional:
                     ) * ds
                 return total
 
-            out.append((energy, blk["dofmap"], blk["x"], blk["normal"]))
+            out.append((energy, arrs[0], arrs[1], arrs[2]))
         return out
 
     # -- gathered per-cell inputs (cells-minor layout) -----------------------
@@ -339,3 +351,14 @@ class EnergyFunctional:
     def vec_dofmap(self):
         """(nc, ndof*bs) row-major dofmap (host-side plan building)."""
         return self._vec_dofmap
+
+
+from tpufem.utils.pytree import register_pytree_with_leaves
+
+# Device arrays as pytree leaves so jitted callers can pass the
+# functional as an argument instead of closing over it (constants are
+# rematerialized per call on the remote TPU path — ~600x slower).
+register_pytree_with_leaves(
+    EnergyFunctional,
+    ["_x_cells", "_vec_dofmap_T", "_coeff_dofmaps_T", "_facet_arrays"],
+)

@@ -53,8 +53,14 @@ def make_newton_solver(
     cfg = cfg or SolverConfig()
     if dot is None:
         dot = lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+    if use_matrix:
+        asm.pattern  # build eagerly so ELL tables are pytree leaves
 
-    def solve(u0, coeffs):
+    # ``asm`` is a registered pytree: passing it as an argument makes all
+    # its index tables buffer parameters of the XLA program rather than
+    # baked-in constants (constants are rematerialized per call on the
+    # remote-TPU path — measured ~600x slower gathers).
+    def solve(asm, u0, coeffs):
         u0 = asm.set_bc(u0)
         free = asm.free_mask(u0.dtype)
 
@@ -105,4 +111,7 @@ def make_newton_solver(
             converged=converged, total_cg_iters=cg_tot,
         )
 
-    return jax.jit(solve) if jit else solve
+    if jit:
+        solve_jitted = jax.jit(solve)
+        return lambda u0, coeffs: solve_jitted(asm, u0, coeffs)
+    return lambda u0, coeffs: solve(asm, u0, coeffs)

@@ -334,7 +334,10 @@ class DistributedProblem:
                 def A(v):
                     vg = halo_fwd(v * free)
                     vc = vg[cells_vec_T]  # (nd, C)
-                    av = jnp.einsum("ijc,jc->ic", em, vc)
+                    av = jnp.einsum(
+                        "ijc,jc->ic", em, vc,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                     y = gather_sum(av, r_gather)
                     y = halo_rev(y)
                     return y * free + v * (1.0 - free) * owned
@@ -417,14 +420,27 @@ class DistributedProblem:
             check_rep=False,
         )
 
+        # pass the problem as a pytree argument so its tables are buffer
+        # parameters, not program constants (see tpufem.utils.pytree)
         @jax.jit
-        def solve(u_local, coeff_cells):
+        def solve(dp, u_local, coeff_cells):
             u, stats = inner(
-                u_local, self.cells_vec_T, self.x_cells,
-                self.cell_mask, self.r_gather,
-                self.send_idx, self.recv_place, self.owned_vec,
-                self.free_local, self.bc_vals_local, coeff_cells,
+                u_local, dp.cells_vec_T, dp.x_cells,
+                dp.cell_mask, dp.r_gather,
+                dp.send_idx, dp.recv_place, dp.owned_vec,
+                dp.free_local, dp.bc_vals_local, coeff_cells,
             )
             return u, stats
 
-        return solve
+        return lambda u_local, coeff_cells: solve(self, u_local, coeff_cells)
+
+
+from tpufem.utils.pytree import register_pytree_with_leaves
+
+register_pytree_with_leaves(
+    DistributedProblem,
+    [
+        "cells_vec_T", "x_cells", "cell_mask", "r_gather", "send_idx",
+        "recv_place", "owned_vec", "free_local", "bc_vals_local",
+    ],
+)

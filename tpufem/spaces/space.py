@@ -67,11 +67,23 @@ def _build_dofmap(mesh: Mesh, el: Element):
     if el.degree == 2:
         edges, c2e = build_entities(mesh, 1)
         edge_block = (n_vertex + c2e).astype(INDEX_DTYPE)
-        dofmap = np.concatenate([vertex_block, edge_block], axis=1).astype(
-            INDEX_DTYPE
-        )
+        blocks = [vertex_block, edge_block]
         mid = 0.5 * (mesh.x[edges[:, 0]] + mesh.x[edges[:, 1]])
-        coords = np.concatenate([mesh.x, mid], axis=0)
-        return dofmap, n_vertex + edges.shape[0], coords
+        coords = [mesh.x, mid]
+        ndofs = n_vertex + edges.shape[0]
+        # interior (cell) dofs, e.g. Q2's center node
+        n_cell_dofs = sum(1 for d, _ in el.entity_dofs if d == mesh.dim)
+        if n_cell_dofs:
+            cell_block = (
+                ndofs
+                + np.arange(mesh.n_cells * n_cell_dofs).reshape(
+                    mesh.n_cells, n_cell_dofs
+                )
+            ).astype(INDEX_DTYPE)
+            blocks.append(cell_block)
+            coords.append(mesh.x[mesh.cells].mean(axis=1))
+            ndofs += mesh.n_cells * n_cell_dofs
+        dofmap = np.concatenate(blocks, axis=1).astype(INDEX_DTYPE)
+        return dofmap, ndofs, np.concatenate(coords, axis=0)
 
     raise NotImplementedError(f"degree {el.degree}")
