@@ -139,3 +139,16 @@ def test_traction_energy_damage_dependence():
     e0 = mechanic2d.run(cfg0).energy.sum()
     e1 = mechanic2d.run(cfg1).energy.sum()
     assert e1 < e0
+
+
+def test_p2_variant():
+    """BASELINE config 2: same workload with P2 displacement elements."""
+    res = mechanic2d.run(Mechanic2DConfig(degree=2, solver=SolverConfig()))
+    assert res.newton_iterations <= 10
+    assert res.V.element.degree == 2
+    uu = np.asarray(res.u).reshape(-1, 2)
+    right = np.abs(res.V.dof_coords[:, 0] - 1) < 1e-9
+    np.testing.assert_allclose(uu[right, 0], 0.01, atol=1e-12)
+    # P2 energy within 10% of P1 on the coarse mesh (discretization gap)
+    res1 = mechanic2d.run(Mechanic2DConfig(solver=SolverConfig()))
+    assert abs(res.energy.sum() - res1.energy.sum()) < 0.1 * res1.energy.sum()

@@ -94,7 +94,10 @@ def setup(cfg: Optional[Mechanic2DConfig] = None, mesh=None, timers=None):
             mesh = refine_uniform(mesh)
 
     with tm.phase("3.1 Define space"):
-        V = FunctionSpace.create(mesh, 1, bs=2)  # displacement (P1 vector)
+        # displacement space degree from config (1 = reference; 2 = the
+        # P2/Q2 variant of BASELINE config 2); damage stays P1 on mesh
+        # nodes (the smoothing algorithm is node-based)
+        V = FunctionSpace.create(mesh, cfg.degree, bs=2)
         DS = FunctionSpace.create(mesh, 1, bs=1)  # damage (P1 scalar)
         ES = FunctionSpace.create(mesh, 0, bs=1)  # Young modulus (DG0)
 
@@ -144,13 +147,17 @@ def setup(cfg: Optional[Mechanic2DConfig] = None, mesh=None, timers=None):
     with tm.phase("7.1 Nonlinear form creation"):
         # stiffness at quadrature degree 1, load at default (degree 2) —
         # the reference's Measure metadata split (asym_ufl.py:78-81)
+        qdeg_stiff = 1 if cfg.degree == 1 else 2 * cfg.degree
         stiffness = Term(
             integrand=lambda qp: asym_damage_psi(
                 qp.eps, qp.coeff("d"), qp.coeff("E"), NU
             ),
-            degree=1,
+            degree=qdeg_stiff,
         )
-        load = Term(integrand=lambda qp: -jnp.dot(qp.coeff("f"), qp.u), degree=2)
+        load = Term(
+            integrand=lambda qp: -jnp.dot(qp.coeff("f"), qp.u),
+            degree=cfg.degree + 1,
+        )
         functional = EnergyFunctional(
             V,
             [stiffness, load],

@@ -84,7 +84,10 @@ def make_newton_solver(
             if cfg.preconditioner == "jacobi":
                 M = jacobi_preconditioner(diag)
             elif cfg.preconditioner == "chebyshev":
-                M = chebyshev_preconditioner(A, diag)
+                from tpufem.la.precond import estimate_lambda_max
+
+                lmax = estimate_lambda_max(A, diag, b.shape[0])
+                M = chebyshev_preconditioner(A, diag, lmax=lmax)
             else:
                 M = None
             res = cg(
