@@ -43,10 +43,12 @@ def main():
     from tpufem.spaces import DirichletBC, FunctionSpace
     from tpufem.spaces.bc import locate_dofs_geometrical
 
+    from tpufem.mesh.reorder import sfc_reorder
+
     dtype = jnp.float32
     n = 724  # 2*n^2 cells, (n+1)^2 nodes -> ~1.05M dofs
     t0 = time.perf_counter()
-    mesh = unit_square(n)
+    mesh = sfc_reorder(unit_square(n))
     V = FunctionSpace.create(mesh, 1, bs=2)
     DS = FunctionSpace.create(mesh, 1, bs=1)
     E, NU = 1.0e6, 0.3
@@ -71,36 +73,43 @@ def main():
 
     # asm passed as a pytree argument (its tables must be buffer
     # parameters, not program constants — see tpufem.utils.pytree)
-    @jax.jit
-    def assembly_pass(asm_, u, d):
-        c = {"d": d}
-        r = asm_.residual(u, c)
-        diag = asm_.diagonal(u, c)
-        return r, diag
 
     u = jnp.zeros(V.n_dofs, dtype=dtype)
-    # compile + warmup
-    r, diag = assembly_pass(asm, u, coeffs["d"])
-    jax.block_until_ready((r, diag))
+    # compile + warmup; then a CHAINED loop (each pass depends on the
+    # previous result) so no runtime-level execution caching can hide work
+    @jax.jit
+    def chained_pass(asm_, u, d):
+        r, diag = assembly_pass_body(asm_, u, d)
+        return u + 1e-12 * r, r, diag
+
+    def assembly_pass_body(asm_, u, d):
+        c = {"d": d}
+        return asm_.residual(u, c), asm_.diagonal(u, c)
+
+    u_c, r, diag = chained_pass(asm, u, coeffs["d"])
+    jax.block_until_ready(u_c)
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        r, diag = assembly_pass(asm, u, coeffs["d"])
-    jax.block_until_ready((r, diag))
+        u_c, r, diag = chained_pass(asm, u_c, coeffs["d"])
+    jax.block_until_ready(u_c)
     dt = (time.perf_counter() - t0) / reps
     mdof_s = V.n_dofs / dt / 1e6
     print(f"assembly pass: {dt*1e3:.2f} ms -> {mdof_s:.1f} MDoF/s", file=sys.stderr)
 
-    # end-to-end solve (secondary, stderr)
+    # end-to-end solve (secondary, stderr); coefficients perturbed per
+    # run so each solve is distinct work
     cfg = SolverConfig(
         cg_rtol=1e-6, newton_rtol=1e-5, newton_atol=1e-3, cg_maxit=2000,
-        error_on_nonconvergence=False,
+        error_on_nonconvergence=False, preconditioner="block_jacobi",
+        block_size=256,
     )
     solve = make_newton_solver(asm, cfg, use_matrix=True)
     res = solve(u, coeffs)
     jax.block_until_ready(res.u)
+    coeffs2 = {"d": coeffs["d"] * (1.0 + 1e-6)}
     t0 = time.perf_counter()
-    res = solve(u, coeffs)
+    res = solve(u, coeffs2)
     jax.block_until_ready(res.u)
     t_solve = time.perf_counter() - t0
     print(

@@ -57,7 +57,9 @@ class SolverConfig:
     newton_atol: float = 5.0e-8
     newton_maxit: int = 10
     convergence: str = "r0"  # 'r0' | 'du0'
-    preconditioner: str = "jacobi"  # 'none' | 'jacobi' | 'chebyshev' | 'amg'
+    # 'none' | 'jacobi' | 'chebyshev' | 'block_jacobi'
+    preconditioner: str = "jacobi"
+    block_size: int = 128  # block_jacobi patch size (dofs)
     error_on_nonconvergence: bool = True
     verbose: bool = False
 

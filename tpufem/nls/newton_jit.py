@@ -53,14 +53,21 @@ def make_newton_solver(
     cfg = cfg or SolverConfig()
     if dot is None:
         dot = lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
-    if use_matrix:
+    if use_matrix or cfg.preconditioner == "block_jacobi":
         asm.pattern  # build eagerly so ELL tables are pytree leaves
+    bj_plan = None
+    if cfg.preconditioner == "block_jacobi":
+        from tpufem.la.block_jacobi import BlockJacobiPlan
+
+        bj_plan = BlockJacobiPlan.build(asm.pattern, cfg.block_size)
+        if not use_matrix:
+            raise ValueError("block_jacobi requires use_matrix=True")
 
     # ``asm`` is a registered pytree: passing it as an argument makes all
     # its index tables buffer parameters of the XLA program rather than
     # baked-in constants (constants are rematerialized per call on the
     # remote-TPU path — measured ~600x slower gathers).
-    def solve(asm, u0, coeffs):
+    def solve(asm, bj_plan, u0, coeffs):
         u0 = asm.set_bc(u0)
         free = asm.free_mask(u0.dtype)
 
@@ -88,6 +95,8 @@ def make_newton_solver(
 
                 lmax = estimate_lambda_max(A, diag, b.shape[0])
                 M = chebyshev_preconditioner(A, diag, lmax=lmax)
+            elif cfg.preconditioner == "block_jacobi":
+                M = bj_plan.preconditioner(mat)
             else:
                 M = None
             res = cg(
@@ -116,5 +125,5 @@ def make_newton_solver(
 
     if jit:
         solve_jitted = jax.jit(solve)
-        return lambda u0, coeffs: solve_jitted(asm, u0, coeffs)
-    return lambda u0, coeffs: solve(asm, u0, coeffs)
+        return lambda u0, coeffs: solve_jitted(asm, bj_plan, u0, coeffs)
+    return lambda u0, coeffs: solve(asm, bj_plan, u0, coeffs)
