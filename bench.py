@@ -39,7 +39,6 @@ def main():
     from tpufem.forms import EnergyFunctional, asym_damage_psi
     from tpufem.forms.form import Coefficient, Term
     from tpufem.mesh import unit_square
-    from tpufem.nls.newton_jit import make_newton_solver
     from tpufem.spaces import DirichletBC, FunctionSpace
     from tpufem.spaces.bc import locate_dofs_geometrical
 
@@ -86,36 +85,47 @@ def main():
         c = {"d": d}
         return asm_.residual(u, c), asm_.diagonal(u, c)
 
+    # block_until_ready does not synchronize on this runtime: time by
+    # materializing a scalar, and difference two chain lengths to cancel
+    # the round-trip overhead
     u_c, r, diag = chained_pass(asm, u, coeffs["d"])
-    jax.block_until_ready(u_c)
-    reps = 10
+    float(np.asarray(u_c)[0])
+    reps0, reps1 = 3, 13
     t0 = time.perf_counter()
-    for _ in range(reps):
+    for _ in range(reps0):
         u_c, r, diag = chained_pass(asm, u_c, coeffs["d"])
-    jax.block_until_ready(u_c)
-    dt = (time.perf_counter() - t0) / reps
+    float(np.asarray(u_c)[0])
+    t_a = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps1):
+        u_c, r, diag = chained_pass(asm, u_c, coeffs["d"])
+    float(np.asarray(u_c)[0])
+    t_b = time.perf_counter() - t0
+    dt = max(t_b - t_a, 1e-9) / (reps1 - reps0)
     mdof_s = V.n_dofs / dt / 1e6
     print(f"assembly pass: {dt*1e3:.2f} ms -> {mdof_s:.1f} MDoF/s", file=sys.stderr)
 
-    # end-to-end solve (secondary, stderr); coefficients perturbed per
-    # run so each solve is distinct work
+    # end-to-end solve (secondary, stderr): chunked driver — bounded
+    # device executions (the remote runtime faults on multi-second single
+    # executions) with host-materialized convergence scalars, so the
+    # timing is honest by construction
+    from tpufem.nls.newton_chunked import make_chunked_solver
+
     cfg = SolverConfig(
         cg_rtol=1e-6, newton_rtol=1e-5, newton_atol=1e-3, cg_maxit=2000,
         error_on_nonconvergence=False, preconditioner="block_jacobi",
         block_size=256,
     )
-    solve = make_newton_solver(asm, cfg, use_matrix=True)
-    res = solve(u, coeffs)
-    jax.block_until_ready(res.u)
+    solve = make_chunked_solver(asm, cfg, cg_chunk=100)
+    res = solve(u, coeffs)  # warm up compiles
     coeffs2 = {"d": coeffs["d"] * (1.0 + 1e-6)}
     t0 = time.perf_counter()
     res = solve(u, coeffs2)
-    jax.block_until_ready(res.u)
     t_solve = time.perf_counter() - t0
     print(
         f"e2e newton-krylov ({V.n_dofs} dofs): {t_solve:.3f} s, "
-        f"newton={int(res.newton_iters)} cg={int(res.total_cg_iters)} "
-        f"rel={float(res.final_residual/res.r0):.2e}",
+        f"newton={res.newton_iters} cg={res.total_cg_iters} "
+        f"rel={res.final_residual/max(res.r0,1e-30):.2e}",
         file=sys.stderr,
     )
 

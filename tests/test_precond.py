@@ -95,3 +95,35 @@ def test_newton_with_block_jacobi():
         cfg = SolverConfig(preconditioner=pc, block_size=64)
         res = make_newton_solver(asm, cfg)(jnp.zeros(V.n_dofs), {})
         assert bool(res.converged), pc
+
+
+def test_chunked_solver_matches_jit():
+    """newton_chunked (bounded executions) must reproduce newton_jit."""
+    from tpufem.forms import asym_damage_psi
+    from tpufem.forms.form import Coefficient
+    from tpufem.nls.newton_chunked import make_chunked_solver
+
+    mesh = sfc_reorder(unit_square(16))
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = np.zeros(DS.n_dofs)
+    d[DS.dof_coords[:, 1] > 0.6] = 0.4
+    F = EnergyFunctional(
+        V,
+        [Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), E, NU), 1)],
+        [Coefficient("d", DS)],
+    )
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    right = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0] - 1) < 1e-12)
+    asm = Assembler(
+        F, [DirichletBC(V, left, [0.0, 0.0]), DirichletBC(V, right, [0.01, 0.0])]
+    )
+    coeffs = {"d": jnp.asarray(d)}
+    for pc in ("jacobi", "block_jacobi"):
+        cfg = SolverConfig(preconditioner=pc, block_size=64)
+        r1 = make_newton_solver(asm, cfg)(jnp.zeros(V.n_dofs), coeffs)
+        r2 = make_chunked_solver(asm, cfg, cg_chunk=37)(
+            jnp.zeros(V.n_dofs), coeffs
+        )
+        assert r2.converged
+        assert float(jnp.abs(r1.u - r2.u).max()) < 1e-8, pc

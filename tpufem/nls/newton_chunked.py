@@ -1,0 +1,166 @@
+"""Chunked Newton-Krylov: bounded device executions, host-side control.
+
+The fully-jitted solver (newton_jit) runs the entire Newton+CG loop as
+one XLA execution. On runtimes that limit or mishandle long single
+executions (the remote-TPU tunnel kills multi-second programs), and for
+solves that want checkpointing/observability, this driver instead runs
+CG in fixed-size jitted chunks and keeps Newton control flow on host —
+the same structure as the reference's PETSc KSPSolve with its per-
+iteration monitors (FEniCSx/mechanic2d/asym_elasto_damage_model.cc:
+869-891), with materialized convergence scalars per chunk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.assemble.assembler import Assembler
+from tpufem.config import SolverConfig
+from tpufem.la.precond import jacobi_preconditioner
+
+
+class ChunkedResult(NamedTuple):
+    u: jnp.ndarray
+    newton_iters: int
+    total_cg_iters: int
+    final_residual: float
+    r0: float
+    converged: bool
+    history: list  # (newton_it, |r|, cg_iters) tuples
+
+
+def make_chunked_solver(
+    asm: Assembler,
+    cfg: Optional[SolverConfig] = None,
+    *,
+    cg_chunk: int = 100,
+):
+    """Returns solve(u0, coeffs) → ChunkedResult.
+
+    Each device execution is at most ``cg_chunk`` CG iterations (or one
+    assembly); convergence scalars are materialized between chunks.
+    """
+    cfg = cfg or SolverConfig()
+    asm.pattern
+    bj_plan = None
+    if cfg.preconditioner == "block_jacobi":
+        from tpufem.la.block_jacobi import BlockJacobiPlan
+
+        bj_plan = BlockJacobiPlan.build(asm.pattern, cfg.block_size)
+
+    @jax.jit
+    def rhs(asm_, u, coeffs):
+        free = asm_.free_mask(u.dtype)
+        b = -asm_.residual(u, coeffs) * free
+        return b, jnp.sqrt(jnp.dot(b, b, precision=jax.lax.Precision.HIGHEST))
+
+    @jax.jit
+    def assemble(asm_, bj_plan_, u, coeffs):
+        mat = asm_.matrix(u, coeffs)
+        if bj_plan_ is not None:
+            pcdata = jnp.linalg.inv(bj_plan_.extract(mat))
+        else:
+            diag = mat.diagonal()
+            pcdata = jnp.where(diag != 0, 1.0 / diag, 1.0)
+        return mat, pcdata
+
+    def apply_pc(bj_plan_, pcdata, r):
+        if bj_plan_ is not None:
+            n, B, nb = bj_plan_.n, bj_plan_.B, bj_plan_.nb
+            pad = nb * B - n
+            rp = jnp.pad(r, (0, pad)) if pad else r
+            y = jnp.einsum(
+                "bij,bj->bi", pcdata, rp.reshape(nb, B),
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(-1)
+            return y[:n] if pad else y
+        return pcdata * r
+
+    @partial(jax.jit, static_argnums=(0,))
+    def cg_chunk_fn(nsteps, asm_, bj_plan_, mat, pcdata, state):
+        x, r, z, p, rz = state
+
+        def dot(a, b):
+            return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+        def body(_, st):
+            x, r, z, p, rz = st
+            Ap = mat.matvec(p)
+            alpha = rz / dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = apply_pc(bj_plan_, pcdata, r)
+            rz_new = dot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new)
+
+        st = jax.lax.fori_loop(0, nsteps, body, state)
+        rr = jnp.sqrt(dot(st[1], st[1]))
+        return st, rr
+
+    @jax.jit
+    def cg_init(asm_, bj_plan_, mat, pcdata, b):
+        x = jnp.zeros_like(b)
+        r = b
+        z = apply_pc(bj_plan_, pcdata, r)
+        rz = jnp.dot(r, z, precision=jax.lax.Precision.HIGHEST)
+        return (x, r, z, p_init(z), rz)
+
+    def p_init(z):
+        return z
+
+    def solve(u0, coeffs) -> ChunkedResult:
+        u = asm.set_bc(u0)
+        history = []
+        r0 = None
+        total_cg = 0
+        converged = False
+        it = 0
+        for it in range(1, cfg.newton_maxit + 1):
+            b, bnorm = rhs(asm, u, coeffs)
+            bnorm = float(bnorm)
+            if r0 is None:
+                r0 = bnorm
+            if bnorm < max(cfg.newton_rtol * r0, cfg.newton_atol):
+                converged = True
+                it -= 1
+                break
+            mat, pcdata = assemble(asm, bj_plan, u, coeffs)
+            state = cg_init(asm, bj_plan, mat, pcdata, b)
+            tol = max(cfg.cg_rtol * bnorm, cfg.cg_atol)
+            k = 0
+            while k < cfg.cg_maxit:
+                nsteps = min(cg_chunk, cfg.cg_maxit - k)
+                state, rr = cg_chunk_fn(nsteps, asm, bj_plan, mat, pcdata, state)
+                k += nsteps
+                if float(rr) < tol:
+                    break
+            u = u + state[0] * asm.free_mask(u.dtype)
+            total_cg += k
+            history.append((it, bnorm, k))
+            if cfg.verbose:
+                print(
+                    f"Newton iteration {it}: |r| = {bnorm:.6e} "
+                    f"(cg {k} iters)"
+                )
+        b, bnorm = rhs(asm, u, coeffs)
+        bnorm = float(bnorm)
+        converged = bnorm < max(cfg.newton_rtol * (r0 or 1.0), cfg.newton_atol)
+        if not converged and cfg.error_on_nonconvergence:
+            from tpufem.nls.newton import NonConvergenceError
+
+            raise NonConvergenceError(
+                f"chunked Newton: |r| = {bnorm:.3e} after {it} iterations"
+            )
+        return ChunkedResult(
+            u=u, newton_iters=it, total_cg_iters=total_cg,
+            final_residual=bnorm, r0=r0 or bnorm, converged=converged,
+            history=history,
+        )
+
+    return solve
