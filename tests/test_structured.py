@@ -1,0 +1,142 @@
+"""Structured fast-path tests: every op must match the unstructured
+assembler on the same lattice mesh to roundoff, and the end-to-end solve
+must be bit-identical."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufem.assemble import Assembler
+from tpufem.config import SolverConfig
+from tpufem.forms import EnergyFunctional, asym_damage_psi
+from tpufem.forms.form import Coefficient, Term
+from tpufem.mesh import rectangle
+from tpufem.nls.newton_jit import make_newton_solver
+from tpufem.spaces import DirichletBC, FunctionSpace
+from tpufem.spaces.bc import locate_dofs_geometrical
+from tpufem.structured import StructuredGrid2D
+from tpufem.structured.solve import make_grid_solver
+
+E0, NU = 3.7e7, 0.3
+
+
+@pytest.fixture(scope="module")
+def problem():
+    nx, ny = 7, 5
+    mesh = rectangle(nx, ny)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    ES = FunctionSpace.create(mesh, 0, bs=1)
+    rng = np.random.default_rng(0)
+    d = rng.uniform(0, 1, DS.n_dofs)
+    E = rng.uniform(5e6, 1e8, mesh.n_cells)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    F = EnergyFunctional(
+        V,
+        [Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"),
+                                         qp.coeff("E"), NU), 1)],
+        [Coefficient("d", DS), Coefficient("E", ES)],
+    )
+    asm = Assembler(F, [])
+    grid = StructuredGrid2D(
+        nx=nx, ny=ny, hx=1 / nx, hy=1 / ny, bs=2,
+        energy_density=lambda g, c: asym_damage_psi(
+            0.5 * (g + g.T), c["d"], c["E"], NU
+        ),
+        field_kinds={"d": "vertex", "E": "cell"},
+    )
+    coeffs = {"d": jnp.asarray(d), "E": jnp.asarray(E)}
+    fields = {
+        "d": grid.vertex_grid(jnp.asarray(d)),
+        "E": jnp.asarray(E.reshape(2, ny, nx)),
+    }
+    return asm, grid, coeffs, fields, jnp.asarray(u), V
+
+
+def test_residual_matches(problem):
+    asm, grid, coeffs, fields, u, V = problem
+    ref = asm.residual(u, coeffs)
+    got = grid.flatten(grid.residual(grid.unflatten(u), fields))
+    assert float(jnp.abs(got - ref).max() / jnp.abs(ref).max()) < 1e-14
+
+
+def test_diagonal_matches(problem):
+    asm, grid, coeffs, fields, u, V = problem
+    ref = asm.diagonal(u, coeffs)
+    got = grid.flatten(grid.diagonal(grid.unflatten(u), fields))
+    assert float(jnp.abs(got - ref).max() / jnp.abs(ref).max()) < 1e-14
+
+
+def test_jvp_matches(problem):
+    asm, grid, coeffs, fields, u, V = problem
+    v = jnp.asarray(np.random.default_rng(1).normal(size=V.n_dofs))
+    ref = asm.tangent_action(u, coeffs, v)
+    got = grid.flatten(
+        grid.tangent_action(grid.unflatten(u), fields, grid.unflatten(v))
+    )
+    assert float(jnp.abs(got - ref).max() / jnp.abs(ref).max()) < 1e-13
+
+
+def test_energy_matches(problem):
+    asm, grid, coeffs, fields, u, V = problem
+    ref = float(asm.energy(u, coeffs))
+    got = float(grid.energy(grid.unflatten(u), fields))
+    assert abs(got - ref) < 1e-13 * abs(ref)
+
+
+def test_load_matches(problem):
+    asm, grid, coeffs, fields, u, V = problem
+    f = jnp.asarray(np.random.default_rng(2).normal(size=V.n_dofs))
+    F2 = EnergyFunctional(
+        V.mesh and asm.functional.space,
+        [Term(lambda qp: -jnp.dot(qp.coeff("f"), qp.u), 1)],
+        [Coefficient("f", asm.functional.space)],
+    )
+    ref = -Assembler(F2, []).residual(jnp.zeros(V.n_dofs), {"f": f})
+    got = grid.flatten(grid.load_residual(grid.unflatten(f)))
+    assert float(jnp.abs(got - ref).max() / jnp.abs(ref).max()) < 1e-14
+
+
+def test_end_to_end_solve_matches():
+    nx = ny = 16
+    mesh = rectangle(nx, ny)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = np.zeros(DS.n_dofs)
+    d[DS.dof_coords[:, 1] > 0.6] = 0.5
+    F = EnergyFunctional(
+        V,
+        [Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), E0, NU), 1)],
+        [Coefficient("d", DS)],
+    )
+    bcs = [
+        DirichletBC(V, locate_dofs_geometrical(
+            V, lambda x: np.abs(x[:, 0]) < 1e-12), [0.0, 0.0]),
+        DirichletBC(V, locate_dofs_geometrical(
+            V, lambda x: np.abs(x[:, 0] - 1) < 1e-12), [0.01, 0.0]),
+    ]
+    asm = Assembler(F, bcs)
+    r1 = make_newton_solver(asm, SolverConfig())(
+        jnp.zeros(V.n_dofs), {"d": jnp.asarray(d)}
+    )
+    grid = StructuredGrid2D(
+        nx=nx, ny=ny, hx=1 / nx, hy=1 / ny, bs=2,
+        energy_density=lambda g, c: asym_damage_psi(
+            0.5 * (g + g.T), c["d"], E0, NU
+        ),
+        field_kinds={"d": "vertex"},
+    )
+    free = np.ones((2, ny + 1, nx + 1))
+    free[:, :, 0] = 0
+    free[:, :, -1] = 0
+    bcv = np.zeros((2, ny + 1, nx + 1))
+    bcv[0, :, -1] = 0.01
+    r2 = make_grid_solver(grid, SolverConfig())(
+        jnp.zeros((2, ny + 1, nx + 1)),
+        {"d": grid.vertex_grid(jnp.asarray(d))},
+        jnp.asarray(free), jnp.asarray(bcv),
+    )
+    assert r2.converged
+    err = float(jnp.abs(grid.flatten(r2.u) - r1.u).max())
+    assert err < 1e-10, err
