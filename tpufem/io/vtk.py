@@ -1,4 +1,4 @@
-"""VTU (VTK XML unstructured grid) writer, ASCII or base64-appended raw.
+"""VTU (VTK XML unstructured grid) writer (ASCII).
 
 Equivalent of the reference's VTK output path (USE_VTK_FOR_OUTPUT,
 FEniCSx/mechanic2d/asym_elasto_damage_model.cc:983-1001). Writes point
@@ -7,8 +7,6 @@ fields (P1) and cell fields (DG0).
 
 from __future__ import annotations
 
-import base64
-import struct
 from typing import Dict, Optional
 
 import numpy as np
