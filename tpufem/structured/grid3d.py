@@ -153,16 +153,33 @@ class StructuredGrid3D:
         return jax.jvp(lambda w: self.residual(w, fields), (u,), (v,))[1]
 
     def diagonal(self, u, fields):
+        """Jacobian diagonal. Computed one element-dof at a time via
+        jvp-of-grad: materializing the full (8,bs,8,bs,cells) element
+        Hessian needs ~8 GB at 10M DoF and OOMs; each directional column
+        is only (8, bs, cells)."""
         energy = self._cell_energy_with_coeffs()
         u_cells, coeffs = self._gather(u, fields)
-        h = self._vmap3(jax.hessian(energy))
-        with jax.default_matmul_precision("float32"):
-            em = h(u_cells, coeffs)  # (8, bs, 8, bs, nz, ny, nx)
-        ed = jnp.diagonal(
-            jnp.diagonal(em, axis1=0, axis2=2), axis1=0, axis2=1
-        )  # (nz, ny, nx, 8, bs)
-        ed = jnp.moveaxis(ed, (3, 4), (0, 1))  # (8, bs, nz, ny, nx)
-        return self._scatter_add(jnp.zeros_like(u), ed)
+        g = jax.grad(energy)
+        d = jnp.zeros_like(u)
+        nz, ny, nx = self.nz, self.ny, self.nx
+        for k in range(8):
+            dz, dy, dx = _CORNERS[k]
+            for c in range(self.bs):
+                e_dir = jnp.zeros((8, self.bs), dtype=u.dtype)
+                e_dir = e_dir.at[k, c].set(1.0)
+
+                def col(u_e, coeff_e):
+                    return jax.jvp(
+                        lambda w: g(w, coeff_e), (u_e,),
+                        (e_dir.astype(u_e.dtype),),
+                    )[1][k, c]
+
+                with jax.default_matmul_precision("float32"):
+                    dk = self._vmap3(col)(u_cells, coeffs)  # (nz, ny, nx)
+                d = d.at[
+                    c, dz : dz + nz, dy : dy + ny, dx : dx + nx
+                ].add(dk)
+        return d
 
     def load_residual(self, f):
         """−∫ f·u with f trilinear (vertex field), 2×2×2 rule."""
