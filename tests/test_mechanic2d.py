@@ -152,3 +152,19 @@ def test_p2_variant():
     # P2 energy within 10% of P1 on the coarse mesh (discretization gap)
     res1 = mechanic2d.run(Mechanic2DConfig(solver=SolverConfig()))
     assert abs(res.energy.sum() - res1.energy.sum()) < 0.1 * res1.energy.sum()
+
+
+def test_outputs_phase(tmp_path):
+    """'8 Outputs' writes VTU + XDMF with all reference fields
+    (FEniCSx/...cc:946-1032 analog)."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    cfg = Mechanic2DConfig(solver=SolverConfig(), output_dir=str(tmp_path))
+    res = mechanic2d.run(cfg)
+    assert (tmp_path / "mechanic2d.vtu").exists()
+    ET.parse(tmp_path / "mechanic2d.vtu")
+    ET.parse(tmp_path / "mechanic2d.xdmf")
+    u_bin = np.fromfile(tmp_path / "mechanic2d_u.bin", dtype=np.float64)
+    assert u_bin.size == res.mesh.n_nodes * 3  # 2D vectors padded to 3
+    assert res.timers.elapsed["8 Outputs"] > 0

@@ -231,6 +231,33 @@ def run(cfg: Optional[Mechanic2DConfig] = None, mesh=None) -> Mechanic2DResult:
     with tm.phase("8.1 strain/stress computation"):
         strain, stress, energy = postprocess(asm, u, coeffs)
 
+    with tm.phase("8 Outputs"):
+        if cfg.output_dir is not None:
+            # the reference's output phase: displacement + damage as
+            # point fields, E/strain/stress/energy as cell fields
+            # (FEniCSx/...cc:946-1032 writes XDMF/VTX per space)
+            import os
+
+            from tpufem.io import write_vtu, write_xdmf
+
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            uu = np.asarray(u).reshape(-1, 2)
+            point_data = {"u": uu, "d": np.asarray(coeffs["d"])}
+            cell_data = {
+                "E": np.asarray(coeffs["E"]),
+                "strain": strain,
+                "stress": stress,
+                "energy": energy,
+            }
+            write_vtu(
+                os.path.join(cfg.output_dir, "mechanic2d.vtu"),
+                mesh, point_data=point_data, cell_data=cell_data,
+            )
+            write_xdmf(
+                os.path.join(cfg.output_dir, "mechanic2d.xdmf"),
+                mesh, point_data=point_data, cell_data=cell_data,
+            )
+
     tm.finish()
     return Mechanic2DResult(
         mesh=mesh, V=V, u=u, d=coeffs["d"], E_cell=coeffs["E"],

@@ -79,6 +79,7 @@ class Mechanic2DConfig:
     use_ecst: bool = False  # constant E=1e6 (auto-disabled under use_trac)
     mesh_path: Optional[str] = None  # default: bundled square.msh
     degree: int = 1  # displacement-space degree (BASELINE config 2: P2/Q2)
+    output_dir: Optional[str] = None  # write VTU/XDMF fields when set
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
 
     def __post_init__(self):
