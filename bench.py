@@ -73,15 +73,17 @@ def main():
     x = chain_res(u0, d, 2)
     float(np.asarray(x)[0, 0, 0])
     print(f"compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    # long chains so the execution-time difference (~seconds) dominates
+    # the tunnel's multi-hundred-ms round-trip noise
     t0 = time.perf_counter()
-    x = chain_res(u0, d, 5)
+    x = chain_res(u0, d, 25)
     float(np.asarray(x)[0, 0, 0])
     ta = time.perf_counter() - t0
     t0 = time.perf_counter()
-    x = chain_res(u0, d, 2005)
+    x = chain_res(u0, d, 20025)
     float(np.asarray(x)[0, 0, 0])
     tb = time.perf_counter() - t0
-    dt = max(tb - ta, 1e-9) / 2000
+    dt = max(tb - ta, 1e-9) / 20000
     mdof_s = ndofs / dt / 1e6
     print(f"assembly pass: {dt*1e3:.3f} ms -> {mdof_s:.1f} MDoF/s",
           file=sys.stderr)
@@ -94,7 +96,8 @@ def main():
                 "unit": "MDoF/s",
                 "vs_baseline": round(mdof_s / REFERENCE_MDOF_S, 2),
             }
-        )
+        ),
+        flush=True,
     )
 
 
