@@ -122,3 +122,58 @@ def test_pallas3d_analytic_cell_matrix():
     energy = grid._cell_energy_with_coeffs()
     Ke_ad = np.asarray(jax.hessian(lambda u: energy(u, {}))(jnp.zeros((8, 3))))
     assert np.abs(Ke_np - Ke_ad).max() / np.abs(Ke_ad).max() < 1e-14
+
+
+def test_stress_jvp_matches_ad():
+    """Hand-derived spectral tangent action vs jax.jvp of grad(psi)."""
+    from tpufem.forms.potentials import lame_parameters
+    import tpufem.structured.pallas2d as p2d_mod
+
+    lam, mu = (float(v) for v in lame_parameters(E, NU))
+    rng = np.random.default_rng(0)
+    eps = rng.normal(size=(2000, 3)).astype(np.float32) * 1e-3
+    tan = rng.normal(size=(2000, 3)).astype(np.float32) * 1e-3
+    dd = rng.uniform(0, 1, 2000).astype(np.float32)
+
+    def sig_of(e, d):
+        m = jnp.array([[e[0], e[2]], [e[2], e[1]]])
+        g = jax.grad(lambda x: asym_damage_psi(x, d, E, NU))(m)
+        g = 0.5 * (g + g.T)
+        return jnp.array([g[0, 0], g[1, 1], 2 * g[0, 1]])
+
+    ad = jax.vmap(
+        lambda e, t, d: jax.jvp(lambda x: sig_of(x, d), (e,), (t,))[1]
+    )(jnp.asarray(eps), jnp.asarray(tan), jnp.asarray(dd))
+    hand = p2d_mod._stress_jvp(
+        eps[:, 0], eps[:, 1], eps[:, 2],
+        tan[:, 0], tan[:, 1], tan[:, 2], dd, lam, mu,
+    )
+    hand = np.stack([np.asarray(h) for h in hand], axis=1)
+    ref = np.stack(
+        [np.asarray(ad[:, 0]), np.asarray(ad[:, 1]), np.asarray(ad[:, 2]) / 2],
+        axis=1,
+    )
+    assert np.abs(hand - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_tangent_kernel_matches_ad_jvp():
+    """Fused Pallas tangent kernel (interpret) vs grid2d AD jvp."""
+    import tpufem.structured.pallas2d as p2d_mod
+
+    nx, ny = 13, 9
+    grid = StructuredGrid2D(
+        nx=nx, ny=ny, hx=1 / nx, hy=1 / ny, bs=2,
+        energy_density=lambda g, c: asym_damage_psi(
+            0.5 * (g + g.T), c["d"], E, NU
+        ),
+        field_kinds={"d": "vertex"},
+    )
+    jvp_k = p2d_mod.make_tangent_kernel(nx, ny, 1 / nx, 1 / ny, E, NU,
+                                        block_rows=8)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=(2, ny + 1, nx + 1)).astype(np.float32) * 1e-3)
+    v = jnp.asarray(rng.normal(size=(2, ny + 1, nx + 1)).astype(np.float32))
+    d = jnp.asarray(rng.uniform(0, 1, (ny + 1, nx + 1)).astype(np.float32))
+    got = np.asarray(jvp_k(u, d, v))
+    ref = np.asarray(grid.tangent_action(u, {"d": d}, v))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-6
