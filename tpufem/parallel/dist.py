@@ -206,38 +206,6 @@ class DistributedProblem:
             )
         return out
 
-    # -- device-side pieces (called inside shard_map; arrays are per-shard) ----
-
-    def _halo_fwd(self, u, send_idx, recv_place):
-        """Owner → ghost insert (scatter_fwd)."""
-        T, Kb = send_idx.shape
-        safe_send = jnp.where(send_idx >= 0, send_idx, 0)
-        buf = u[safe_send] * (send_idx >= 0)
-        recv = jax.lax.all_to_all(buf, AXIS, split_axis=0, concat_axis=0, tiled=False)
-        # recv row t = what shard t sent to me; place into ghost slots
-        tgt = jnp.where(recv_place >= 0, recv_place, self.Lv)
-        ext = jnp.concatenate([u, jnp.zeros(1, u.dtype)])
-        ext = ext.at[tgt.ravel()].set(recv.ravel(), mode="drop")
-        return ext[: self.Lv]
-
-    def _halo_rev_add(self, r, send_idx, recv_place):
-        """Ghost → owner add (scatter_rev(plus)), then zero ghosts."""
-        safe_place = jnp.where(recv_place >= 0, recv_place, 0)
-        buf = r[safe_place] * (recv_place >= 0)
-        recv = jax.lax.all_to_all(buf, AXIS, split_axis=0, concat_axis=0, tiled=False)
-        tgt = jnp.where(send_idx >= 0, send_idx, self.Lv)
-        ext = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
-        ext = ext.at[tgt.ravel()].add(recv.ravel(), mode="drop")
-        out = ext[: self.Lv]
-        # zero the ghost region (owner now holds the sum)
-        return out * self.owned_local_template(out.dtype)
-
-    def owned_local_template(self, dtype):
-        # (Lv,) per-shard owned mask — inside shard_map the (S, Lv) array
-        # appears as its (Lv,) block, so this is resolved by closure of the
-        # sharded operand; handled in the shard_map body instead.
-        raise RuntimeError("placeholder — masked inside shard_map body")
-
     # -- solver factory ----------------------------------------------------------
 
     def make_solver(self, cfg: Optional[SolverConfig] = None):
