@@ -57,9 +57,19 @@ class SolverConfig:
     newton_atol: float = 5.0e-8
     newton_maxit: int = 10
     convergence: str = "r0"  # 'r0' | 'du0'
-    # 'none' | 'jacobi' | 'chebyshev' | 'block_jacobi'
+    # 'none' | 'jacobi' | 'chebyshev' | 'block_jacobi' | 'amg'
     preconditioner: str = "jacobi"
     block_size: int = 128  # block_jacobi patch size (dofs)
+    # SA-AMG knobs (preconditioner='amg'): V-cycle smoother degree,
+    # strength drop tolerance, dense-coarse size. The hierarchy is built
+    # host-side from the Jacobian at the initial iterate and *frozen*
+    # across Newton iterations (a frozen preconditioner — same fixed
+    # point, mildly more CG iterations late in Newton; the reference
+    # re-runs BoomerAMG setup per iteration because MPI setup is cheap
+    # relative to its solve, ours is a host round-trip).
+    amg_degree: int = 2
+    amg_theta: float = 0.0
+    amg_coarse_size: int = 512
     error_on_nonconvergence: bool = True
     verbose: bool = False
 

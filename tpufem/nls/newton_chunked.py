@@ -52,6 +52,8 @@ def make_chunked_solver(
         from tpufem.la.block_jacobi import BlockJacobiPlan
 
         bj_plan = BlockJacobiPlan.build(asm.pattern, cfg.block_size)
+    use_amg = cfg.preconditioner == "amg"
+    amg_state = {}
 
     @jax.jit
     def rhs(asm_, u, coeffs):
@@ -69,7 +71,11 @@ def make_chunked_solver(
             pcdata = jnp.where(diag != 0, 1.0 / diag, 1.0)
         return mat, pcdata
 
-    def apply_pc(bj_plan_, pcdata, r):
+    def apply_pc(bj_plan_, hier_, pcdata, r):
+        if hier_ is not None:
+            from tpufem.la.amg import vcycle
+
+            return vcycle(hier_, r, degree=cfg.amg_degree)
         if bj_plan_ is not None:
             n, B, nb = bj_plan_.n, bj_plan_.B, bj_plan_.nb
             pad = nb * B - n
@@ -82,7 +88,7 @@ def make_chunked_solver(
         return pcdata * r
 
     @partial(jax.jit, static_argnums=(0,))
-    def cg_chunk_fn(nsteps, asm_, bj_plan_, mat, pcdata, state):
+    def cg_chunk_fn(nsteps, asm_, bj_plan_, hier_, mat, pcdata, state):
         x, r, z, p, rz = state
 
         def dot(a, b):
@@ -94,7 +100,7 @@ def make_chunked_solver(
             alpha = rz / dot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = apply_pc(bj_plan_, pcdata, r)
+            z = apply_pc(bj_plan_, hier_, pcdata, r)
             rz_new = dot(r, z)
             p = z + (rz_new / rz) * p
             return (x, r, z, p, rz_new)
@@ -104,10 +110,10 @@ def make_chunked_solver(
         return st, rr
 
     @jax.jit
-    def cg_init(asm_, bj_plan_, mat, pcdata, b):
+    def cg_init(asm_, bj_plan_, hier_, mat, pcdata, b):
         x = jnp.zeros_like(b)
         r = b
-        z = apply_pc(bj_plan_, pcdata, r)
+        z = apply_pc(bj_plan_, hier_, pcdata, r)
         rz = jnp.dot(r, z, precision=jax.lax.Precision.HIGHEST)
         return (x, r, z, p_init(z), rz)
 
@@ -124,19 +130,44 @@ def make_chunked_solver(
         for it in range(1, cfg.newton_maxit + 1):
             b, bnorm = rhs(asm, u, coeffs)
             bnorm = float(bnorm)
-            if r0 is None:
+            if r0 is None and (cfg.convergence == "r0" or it >= 2):
+                # 'du0' (dolfinx) measures relative to the residual after
+                # the first correction (doc.tex:2065-2068)
                 r0 = bnorm
-            if bnorm < max(cfg.newton_rtol * r0, cfg.newton_atol):
+            ref = r0 if r0 is not None else bnorm
+            if bnorm < max(cfg.newton_rtol * ref, cfg.newton_atol):
                 converged = True
                 it -= 1
                 break
             mat, pcdata = assemble(asm, bj_plan, u, coeffs)
-            state = cg_init(asm, bj_plan, mat, pcdata, b)
+            hier = None
+            if use_amg:
+                if "h" not in amg_state:
+                    from tpufem.la.amg import (
+                        AMGOptions, build_hierarchy, ell_to_scipy,
+                    )
+
+                    V = asm.space
+                    amg_state["h"] = build_hierarchy(
+                        ell_to_scipy(mat), V.dof_coords, V.bs,
+                        free_mask=np.asarray(
+                            asm._free_mask_np, dtype=np.float64
+                        ),
+                        opts=AMGOptions(
+                            theta=cfg.amg_theta,
+                            coarse_size=cfg.amg_coarse_size,
+                        ),
+                        dtype=np.asarray(b).dtype,
+                    )
+                hier = amg_state["h"]
+            state = cg_init(asm, bj_plan, hier, mat, pcdata, b)
             tol = max(cfg.cg_rtol * bnorm, cfg.cg_atol)
             k = 0
             while k < cfg.cg_maxit:
                 nsteps = min(cg_chunk, cfg.cg_maxit - k)
-                state, rr = cg_chunk_fn(nsteps, asm, bj_plan, mat, pcdata, state)
+                state, rr = cg_chunk_fn(
+                    nsteps, asm, bj_plan, hier, mat, pcdata, state
+                )
                 k += nsteps
                 if float(rr) < tol:
                     break
@@ -150,7 +181,9 @@ def make_chunked_solver(
                 )
         b, bnorm = rhs(asm, u, coeffs)
         bnorm = float(bnorm)
-        converged = bnorm < max(cfg.newton_rtol * (r0 or 1.0), cfg.newton_atol)
+        if r0 is None:
+            r0 = bnorm
+        converged = bnorm < max(cfg.newton_rtol * r0, cfg.newton_atol)
         if not converged and cfg.error_on_nonconvergence:
             from tpufem.nls.newton import NonConvergenceError
 

@@ -53,7 +53,7 @@ def make_newton_solver(
     cfg = cfg or SolverConfig()
     if dot is None:
         dot = lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
-    if use_matrix or cfg.preconditioner == "block_jacobi":
+    if use_matrix or cfg.preconditioner in ("block_jacobi", "amg"):
         asm.pattern  # build eagerly so ELL tables are pytree leaves
     bj_plan = None
     if cfg.preconditioner == "block_jacobi":
@@ -62,12 +62,14 @@ def make_newton_solver(
         bj_plan = BlockJacobiPlan.build(asm.pattern, cfg.block_size)
         if not use_matrix:
             raise ValueError("block_jacobi requires use_matrix=True")
+    if cfg.preconditioner == "amg" and not use_matrix:
+        raise ValueError("amg requires use_matrix=True")
 
     # ``asm`` is a registered pytree: passing it as an argument makes all
     # its index tables buffer parameters of the XLA program rather than
     # baked-in constants (constants are rematerialized per call on the
     # remote-TPU path — measured ~600x slower gathers).
-    def solve(asm, bj_plan, u0, coeffs):
+    def solve(asm, bj_plan, amg_hier, u0, coeffs):
         u0 = asm.set_bc(u0)
         free = asm.free_mask(u0.dtype)
 
@@ -97,6 +99,10 @@ def make_newton_solver(
                 M = chebyshev_preconditioner(A, diag, lmax=lmax)
             elif cfg.preconditioner == "block_jacobi":
                 M = bj_plan.preconditioner(mat)
+            elif cfg.preconditioner == "amg":
+                from tpufem.la.amg import amg_preconditioner
+
+                M = amg_preconditioner(amg_hier, degree=cfg.amg_degree)
             else:
                 M = None
             res = cg(
@@ -106,6 +112,10 @@ def make_newton_solver(
             u = u + res.x
             b_new = rhs(u)
             bnorm_new = jnp.sqrt(dot(b_new, b_new))
+            if cfg.convergence == "du0":
+                # dolfinx convention: relative scale is the residual after
+                # the FIRST correction (doc.tex:2065-2068)
+                r0 = jnp.where(it == 0, bnorm_new, r0)
             return (u, b_new, bnorm_new, r0, it + 1, cg_tot + res.iters)
 
         b0 = rhs(u0)
@@ -123,7 +133,38 @@ def make_newton_solver(
             converged=converged, total_cg_iters=cg_tot,
         )
 
+    _hier_cache = {}
+
+    def _get_hier(u0, coeffs):
+        """Host-side SA-AMG setup from the Jacobian at the initial
+        iterate (built once per solver; the V-cycle itself is device
+        code passed in as a pytree argument)."""
+        if "h" not in _hier_cache:
+            from tpufem.la.amg import AMGOptions, build_hierarchy, ell_to_scipy
+            import numpy as np
+
+            mat = jax.jit(lambda a, u, c: a.matrix(a.set_bc(u), c))(
+                asm, u0, coeffs
+            )
+            sp = ell_to_scipy(mat)
+            V = asm.space
+            _hier_cache["h"] = build_hierarchy(
+                sp, V.dof_coords, V.bs,
+                free_mask=np.asarray(asm._free_mask_np, dtype=np.float64),
+                opts=AMGOptions(
+                    theta=cfg.amg_theta, coarse_size=cfg.amg_coarse_size
+                ),
+                dtype=np.asarray(u0).dtype,
+            )
+        return _hier_cache["h"]
+
+    need_amg = cfg.preconditioner == "amg"
     if jit:
         solve_jitted = jax.jit(solve)
-        return lambda u0, coeffs: solve_jitted(asm, bj_plan, u0, coeffs)
-    return lambda u0, coeffs: solve(asm, bj_plan, u0, coeffs)
+        return lambda u0, coeffs: solve_jitted(
+            asm, bj_plan, _get_hier(u0, coeffs) if need_amg else None,
+            u0, coeffs,
+        )
+    return lambda u0, coeffs: solve(
+        asm, bj_plan, _get_hier(u0, coeffs) if need_amg else None, u0, coeffs
+    )
