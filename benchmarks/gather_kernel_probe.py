@@ -1,19 +1,23 @@
 """Probe: which in-kernel gather formulation is fastest on this TPU.
 
 Decides the unstructured-assembly kernel design (VERDICT round-2 item 3):
-the XLA gather ceiling measured in round 1 was ~130M elem/s, far below
-the >=1 GDoF/s unstructured assembly target. Candidates:
+the XLA gather ceiling measured in round 1 was ~130-180M elem/s, far
+below the >=1 GDoF/s unstructured assembly target.
 
-  A. XLA flat gather (baseline, the ceiling we want to break)
-  B. Pallas: sublane dynamic-gather (take_along_axis axis=0) + one-hot
-     lane select, inside VMEM windows
-  C. Pallas: one-hot MXU row-matmul + one-hot lane select (guaranteed
-     lowerable: only matmul + compare + reduce)
+The candidate TPU-native layout is **lane-partitioned SPMD**: nodes are
+split into 128 groups (one per vector lane, SFC-contiguous); lane j's
+solution values live in column j of a (rows, 128) slab; every gather is
+then *within a lane* — out[i, j] = win[idx[i, j], j] — which is exactly
+`jnp.take_along_axis(win, idx, axis=0)`, the hardware sublane shuffle.
+Cells straddling groups are handled by halo duplication at setup time
+(same owner/ghost structure as the device-level partition, one level
+down).
 
-All candidates gather M elements out of an N-element f32 array through
-*windowed* indices (each tile of K indices hits a W-wide window — the
-post-RCM locality structure of FEM dofmaps). Source array lives as
-(N/128, 128) rows; window = WR rows of 128.
+Variants:
+  A. XLA flat gather (baseline ceiling)
+  A2. XLA take_along_axis on (rows,128) whole-array (no Pallas)
+  D. Pallas take_along_axis within a WR-row VMEM window, WR=16/512
+  E. Pallas select-loop over window rows (guaranteed lowering), WR=16
 
 Timing per memory/axon-tpu-runtime-gotchas.md: chained fori_loop, host
 materialization, long-chain differencing.
@@ -36,19 +40,16 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-if INTERPRET:  # tiny shapes for CPU-interpret correctness runs
-    N = 32 * 1024
+if INTERPRET:
+    NR = 256  # source rows (x is (NR, 128))
     T = 4
-    K = 1024
+    KR = 8  # gathered rows per tile
 else:
-    N = 2 * 1024 * 1024  # source elements
-    T = 1024  # tiles
-    K = 8192  # gathered elements per tile
-NR = N // 128  # source rows
-WR = 16  # window rows (W = 2048 elements)
-W = WR * 128
-KS = 512  # sub-block
-M = T * K  # total gathers per iteration (8.4M full-size)
+    NR = 16 * 1024  # 2.1M source elements
+    T = 256
+    KR = 256  # 32k gathers per tile -> 8.4M total
+N = NR * 128
+M = T * KR * 128
 
 
 def chain_time(label, body, x0, n_work, reps0=3, reps1=33):
@@ -80,141 +81,136 @@ def correctness(fn, x, expect, label):
     print(f"{label} correctness: rel err {err:.2e}", flush=True)
 
 
-def make_pallas(kernel):
-    return pl.pallas_call(
-        kernel,
-        interpret=INTERPRET,
-        out_shape=jax.ShapeDtypeStruct((T, 1), jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # row starts
-            grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, K), lambda t, s: (t, 0),
-                             memory_space=pltpu.VMEM),  # local idx
-                pl.BlockSpec(memory_space=pltpu.ANY),  # x rows (NR, 128)
-            ],
-            out_specs=pl.BlockSpec((1, 1), lambda t, s: (t, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((WR, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-        ),
-    )
+def make_probe(WR):
+    """Per-lane windowed gather kernel: tile t DMAs WR rows starting at
+    rstart[t], gathers (KR,128) elements per-lane, reduces to (1,128)."""
 
-
-def kern_taa(start_ref, idx_ref, x_hbm, o_ref, win, sem):
-    t = pl.program_id(0)
-    s = start_ref[t]
-    dma = pltpu.make_async_copy(x_hbm.at[pl.ds(s, WR), :], win, sem)
-    dma.start()
-    dma.wait()
-    idx = idx_ref[0, :]  # (K,) local in [0, W)
-    total = jnp.zeros((), jnp.float32)
-    parts = []
-    for b in range(K // KS):
-        ids = idx[b * KS : (b + 1) * KS]
-        rows = ids // 128  # (KS,)
-        lanes = ids % 128
-        ridx = jnp.broadcast_to(rows[:, None], (KS, 128))
-        tmp = jnp.take_along_axis(win[:], ridx, axis=0)  # (KS, 128)
-        oh_c = (
-            jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
-            == lanes[:, None]
+    def kern(start_ref, idx_ref, x_hbm, o_ref, win, sem):
+        t = pl.program_id(0)
+        s = start_ref[t]
+        dma = pltpu.make_async_copy(x_hbm.at[pl.ds(s, WR), :], win, sem)
+        dma.start()
+        dma.wait()
+        idx = idx_ref[0]  # (KR, 128) local row index in [0, WR)
+        g = jnp.take_along_axis(win[:], idx, axis=0)  # (KR, 128)
+        o_ref[0, :, :] = jnp.broadcast_to(
+            jnp.sum(g, axis=0, keepdims=True), (8, 128)
         )
-        parts.append(jnp.sum(jnp.where(oh_c, tmp, 0.0)))
-    o_ref[0, 0] = sum(parts)
 
-
-def kern_onehot(start_ref, idx_ref, x_hbm, o_ref, win, sem):
-    t = pl.program_id(0)
-    s = start_ref[t]
-    dma = pltpu.make_async_copy(x_hbm.at[pl.ds(s, WR), :], win, sem)
-    dma.start()
-    dma.wait()
-    idx = idx_ref[0, :]
-    parts = []
-    for b in range(K // KS):
-        ids = idx[b * KS : (b + 1) * KS]
-        rows = ids // 128
-        lanes = ids % 128
-        oh_r = (
-            jax.lax.broadcasted_iota(jnp.int32, (KS, WR), 1) == rows[:, None]
-        ).astype(jnp.float32)
-        tmp = jax.lax.dot_general(
-            oh_r, win[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (KS, 128) = rows selected
-        oh_c = (
-            jax.lax.broadcasted_iota(jnp.int32, (KS, 128), 1)
-            == lanes[:, None]
+    def kern_select(start_ref, idx_ref, x_hbm, o_ref, win, sem):
+        t = pl.program_id(0)
+        s = start_ref[t]
+        dma = pltpu.make_async_copy(x_hbm.at[pl.ds(s, WR), :], win, sem)
+        dma.start()
+        dma.wait()
+        idx = idx_ref[0]
+        acc = jnp.zeros((KR, 128), jnp.float32)
+        w = win[:]
+        for r in range(WR):
+            acc = acc + jnp.where(idx == r, w[r : r + 1, :], 0.0)
+        o_ref[0, :, :] = jnp.broadcast_to(
+            jnp.sum(acc, axis=0, keepdims=True), (8, 128)
         )
-        parts.append(jnp.sum(jnp.where(oh_c, tmp, 0.0)))
-    o_ref[0, 0] = sum(parts)
+
+    def build(kernel):
+        return pl.pallas_call(
+            kernel,
+            interpret=INTERPRET,
+            out_shape=jax.ShapeDtypeStruct((T, 8, 128), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(T,),
+                in_specs=[
+                    pl.BlockSpec((1, KR, 128), lambda t, s: (t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec((1, 8, 128), lambda t, s: (t, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((WR, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            ),
+        )
+
+    return build(kern), build(kern_select)
 
 
 def main():
     rng = np.random.default_rng(0)
-    # window row-starts (multiples of rows): tile t covers rows
-    # [rs[t], rs[t]+WR)
-    D = (NR - WR) // (T - 1)
-    rstarts = (np.arange(T) * D).astype(np.int32)
-    local = rng.integers(0, W, (T, K), dtype=np.int32)
-    gidx = rstarts[:, None].astype(np.int64) * 128 + local
+    xnp = rng.normal(size=(NR, 128)).astype(np.float32)
+    x0 = jnp.asarray(xnp.ravel())
 
-    xnp = rng.normal(size=N).astype(np.float32)
-    x0 = jnp.asarray(xnp)
-    gidx_j = jnp.asarray(gidx.ravel())
-    local_j = jnp.asarray(local)
-    rstarts_j = jnp.asarray(rstarts)
+    def run_variant(WR, with_select=False):
+        if WR > NR:
+            return
+        D = max((NR - WR) // max(T - 1, 1), 1)
+        rstarts = np.minimum(np.arange(T) * D, NR - WR).astype(np.int32)
+        local = rng.integers(0, WR, (T, KR, 128), dtype=np.int32)
+        # expected per-tile per-lane sums
+        exp = np.zeros((T, 128), np.float32)
+        for t in range(T):
+            win = xnp[rstarts[t] : rstarts[t] + WR]
+            exp[t] = np.take_along_axis(win, local[t], axis=0).sum(axis=0)
+        pk, ps = make_probe(WR)
+        rj = jnp.asarray(rstarts)
+        lj = jnp.asarray(local)
 
-    expect = xnp[gidx.ravel()].reshape(T, K).sum(axis=1)
+        def g_taa(x):
+            return pk(rj, lj, x.reshape(NR, 128))[:, 0, :]
 
-    # ---- A. XLA flat gather ----
-    def gather_xla(x):
-        return jnp.sum(x[gidx_j].reshape(T, K), axis=1)
+        def body_taa(_, x):
+            s = g_taa(x)
+            return x * 0.9999 + jnp.pad(s.ravel(), (0, N - T * 128)) * 1e-9
+
+        try:
+            correctness(jax.jit(g_taa), x0, exp, f"D WR={WR} take_along")
+            chain_time(f"D pallas take_along WR={WR:4d}", body_taa, x0, M)
+        except Exception as e:
+            print(f"D WR={WR} FAILED: {type(e).__name__}: {e}"[:600],
+                  flush=True)
+        if with_select:
+            def g_sel(x):
+                return ps(rj, lj, x.reshape(NR, 128))[:, 0, :]
+
+            def body_sel(_, x):
+                s = g_sel(x)
+                return x * 0.9999 + jnp.pad(
+                    s.ravel(), (0, N - T * 128)
+                ) * 1e-9
+
+            try:
+                correctness(jax.jit(g_sel), x0, exp, f"E WR={WR} select")
+                chain_time(f"E pallas select     WR={WR:4d}", body_sel, x0, M)
+            except Exception as e:
+                print(f"E WR={WR} FAILED: {type(e).__name__}: {e}"[:600],
+                      flush=True)
+
+    # ---- A. XLA flat gather baseline ----
+    gidx = rng.integers(0, N, M, dtype=np.int32)
+    gj = jnp.asarray(gidx)
 
     def body_xla(_, x):
-        s = gather_xla(x)
-        return x * 0.9999 + jnp.pad(s, (0, N - T)) * 1e-9
+        g = x[gj]
+        s = jnp.sum(g.reshape(-1, 128), axis=0)
+        return x * 0.9999 + jnp.pad(s, (0, N - 128)) * 1e-9
 
-    correctness(jax.jit(gather_xla), x0, expect, "A")
-    chain_time("A xla flat gather     ", body_xla, x0, M)
+    chain_time("A xla flat gather          ", body_xla, x0, M)
 
-    # ---- B. take_along_axis ----
-    pb = make_pallas(kern_taa)
+    # ---- A2. XLA take_along_axis whole-array ----
+    tidx = jnp.asarray(rng.integers(0, NR, (T * KR, 128), dtype=np.int32))
 
-    def gather_taa(x):
-        return pb(rstarts_j, local_j, x.reshape(NR, 128))[:, 0]
+    def body_taa_xla(_, x):
+        g = jnp.take_along_axis(x.reshape(NR, 128), tidx, axis=0)
+        s = jnp.sum(g, axis=0)
+        return x * 0.9999 + jnp.pad(s, (0, N - 128)) * 1e-9
 
-    def body_taa(_, x):
-        s = gather_taa(x)
-        return x * 0.9999 + jnp.pad(s, (0, N - T)) * 1e-9
+    chain_time("A2 xla take_along whole    ", body_taa_xla, x0, M)
 
-    try:
-        correctness(jax.jit(gather_taa), x0, expect, "B")
-        chain_time("B pallas take_along   ", body_taa, x0, M)
-    except Exception as e:
-        print(f"B pallas take_along    FAILED: {type(e).__name__}: {e}"[:600],
-              flush=True)
-
-    # ---- C. one-hot MXU ----
-    pc = make_pallas(kern_onehot)
-
-    def gather_oh(x):
-        return pc(rstarts_j, local_j, x.reshape(NR, 128))[:, 0]
-
-    def body_oh(_, x):
-        s = gather_oh(x)
-        return x * 0.9999 + jnp.pad(s, (0, N - T)) * 1e-9
-
-    try:
-        correctness(jax.jit(gather_oh), x0, expect, "C")
-        chain_time("C pallas one-hot mxu  ", body_oh, x0, M)
-    except Exception as e:
-        print(f"C pallas one-hot mxu   FAILED: {type(e).__name__}: {e}"[:600],
-              flush=True)
+    run_variant(16, with_select=True)
+    run_variant(512)
+    run_variant(2048)
 
 
 if __name__ == "__main__":

@@ -25,3 +25,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent XLA compilation cache: every test process re-traces the
+# same programs (fresh Assembler pytrees -> new jit cache keys), and
+# compilation dominates suite wall time; the disk cache cuts reruns
+# from ~30 min to minutes
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -220,11 +220,18 @@ def run(cfg: Optional[Mechanic2DConfig] = None, mesh=None) -> Mechanic2DResult:
         solver = NewtonSolver(cfg.solver)
 
     with tm.phase("7.3 NonLinear resolution"):
+        # jitted callback wrappers: tracing the vmapped grad/hessian
+        # element pipeline costs ~0.7 s per transform on host — jit once
+        # (asm passed as a pytree argument) so every later Newton
+        # iteration hits the pjit trace cache instead of re-deriving
+        rhs_j = jax.jit(lambda a, w, c: a.lifted_rhs(w, c))
+        act_j = jax.jit(lambda a, w, c, v: a.constrained_action(w, c)(v))
+        diag_j = jax.jit(lambda a, w, c: a.diagonal(w, c))
         res = solver.solve(
             jnp.zeros(V.n_dofs, dtype=dtype),
-            rhs=lambda w: asm.lifted_rhs(w, coeffs),
-            operator=lambda w: asm.constrained_action(w, coeffs),
-            precond=lambda w: jacobi_preconditioner(asm.diagonal(w, coeffs)),
+            rhs=lambda w: rhs_j(asm, w, coeffs),
+            operator=lambda w: (lambda v: act_j(asm, w, coeffs, v)),
+            precond=lambda w: jacobi_preconditioner(diag_j(asm, w, coeffs)),
         )
         u = jax.block_until_ready(res.u)
 

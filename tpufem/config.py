@@ -70,6 +70,10 @@ class SolverConfig:
     amg_degree: int = 2
     amg_theta: float = 0.0
     amg_coarse_size: int = 512
+    # geometric-MG (structured path, preconditioner='mg'): measured
+    # V(3,3) with band [lmax/8, 1.1 lmax] contracts ~0.4/cycle on 2D
+    # elasticity (vs 0.6 at the SA-AMG smoother settings)
+    mg_degree: int = 3
     error_on_nonconvergence: bool = True
     verbose: bool = False
 

@@ -401,24 +401,12 @@ def _ell_mv(cols, vals, x):
 
 def _cheb_smooth(cols, vals, inv_d, lmax, b, x, *, degree, lmin_ratio,
                  lmax_scale):
-    """degree-step Chebyshev iteration on D^-1 A targeting
-    [lmin_ratio*lmax, lmax_scale*lmax] (the smoother regime), starting
-    from x."""
-    lam_max = lmax_scale * lmax
-    lam_min = lmin_ratio * lam_max
-    theta = 0.5 * (lam_max + lam_min)
-    delta = 0.5 * (lam_max - lam_min)
-    sigma = theta / delta
-    rho = 1.0 / sigma
-    res = inv_d * (b - _ell_mv(cols, vals, x))
-    d = res / theta
-    for _ in range(degree):
-        x = x + d
-        res = res - inv_d * _ell_mv(cols, vals, d)
-        rho_new = 1.0 / (2.0 * sigma - rho)
-        d = rho_new * rho * d + (2.0 * rho_new / delta) * res
-        rho = rho_new
-    return x
+    from tpufem.la.precond import chebyshev_iterate
+
+    return chebyshev_iterate(
+        lambda v: _ell_mv(cols, vals, v), inv_d, lmax, b, x,
+        degree=degree, lmin_ratio=lmin_ratio, lmax_scale=lmax_scale,
+    )
 
 
 def vcycle(hier: AMGHierarchy, b: jnp.ndarray, *, degree: int = 2,

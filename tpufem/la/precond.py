@@ -49,6 +49,35 @@ def estimate_lambda_max(A: Callable, diag: jnp.ndarray, n: int, *,
     return jnp.vdot(v, w) / jnp.vdot(v, v)
 
 
+def chebyshev_iterate(A: Callable, inv_d, lmax, b, x, *, degree: int,
+                      lmin_ratio: float = 1.0 / 30.0,
+                      lmax_scale: float = 1.1):
+    """degree-step Chebyshev iteration on D^-1 A targeting the smoother
+    band [lmin_ratio*lmax_scale*lmax, lmax_scale*lmax], starting from x.
+
+    The shared smoother of the multilevel preconditioners (la.amg V-cycle
+    and structured.mg2d); a fixed polynomial in A, hence a *linear*,
+    symmetric operation — safe inside plain CG.
+    """
+    import jax.numpy as jnp
+
+    lam_max = lmax_scale * lmax
+    lam_min = lmin_ratio * lam_max
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    res = inv_d * (b - A(x))
+    d = res / theta
+    for _ in range(degree):
+        x = x + d
+        res = res - inv_d * A(d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * res
+        rho = rho_new
+    return x
+
+
 def chebyshev_preconditioner(
     A: Callable, diag: jnp.ndarray, *, degree: int = 4,
     lmax_scale: float = 1.1, lmin_ratio: float = 0.25,

@@ -37,8 +37,13 @@ def make_grid_solver(
 
     ``free_mask``: (ny+1, nx+1, bs) 1.0 on unknowns; ``bc_values`` same
     shape with imposed values; ``load`` optional nodal load field.
+
+    ``cfg.preconditioner='mg'`` uses the geometric-multigrid V-cycle
+    (structured.mg2d) — the lattice BoomerAMG equivalent; anything else
+    falls back to point Jacobi.
     """
     cfg = cfg or SolverConfig()
+    use_mg = cfg.preconditioner == "mg"
 
     def dot(a, b):
         return jnp.vdot(a, b)
@@ -54,8 +59,23 @@ def make_grid_solver(
         d = grid.diagonal(u, fields)
         return d * free + (1.0 - free)
 
+    _mg_grids = {}
+
+    def apply_pc(pcdata, r):
+        if use_mg:
+            from tpufem.structured import mg2d
+
+            # the grids tuple is static structure (same lattice every
+            # Newton iteration); all per-iteration arrays are in pcdata
+            return mg2d.vcycle(
+                _mg_grids["g"], pcdata, r, degree=cfg.mg_degree
+            )
+        return pcdata * r
+
+    apply_pc_jit = jax.jit(apply_pc)
+
     @partial(jax.jit, static_argnums=(0,))
-    def cg_chunk_fn(nsteps, u_lin, fields, free, diag_inv, state):
+    def cg_chunk_fn(nsteps, u_lin, fields, free, pcdata, state):
         def A(v):
             av = grid.tangent_action(u_lin, fields, v * free)
             return av * free + v * (1.0 - free)
@@ -66,7 +86,7 @@ def make_grid_solver(
             alpha = rz / dot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = diag_inv * r
+            z = apply_pc(pcdata, r)
             rz_new = dot(r, z)
             p = z + (rz_new / rz) * p
             return (x, r, z, p, rz_new)
@@ -93,16 +113,22 @@ def make_grid_solver(
             if bnorm < max(cfg.newton_rtol * r0, cfg.newton_atol):
                 it -= 1
                 break
-            diag = diag_fn(u, fields, free)
-            diag_inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
-            z0 = diag_inv * b
+            if use_mg:
+                from tpufem.structured import mg2d
+
+                grids, pcdata = mg2d.build_mg2d(grid, u, fields, free)
+                _mg_grids["g"] = grids
+            else:
+                diag = diag_fn(u, fields, free)
+                pcdata = jnp.where(diag != 0, 1.0 / diag, 1.0)
+            z0 = apply_pc_jit(pcdata, b) if use_mg else pcdata * b
             state = (jnp.zeros_like(b), b, z0, z0, dot(b, z0))
             tol = max(cfg.cg_rtol * bnorm, cfg.cg_atol)
             k = 0
             while k < cfg.cg_maxit:
                 nsteps = min(cg_chunk, cfg.cg_maxit - k)
                 state, rr = cg_chunk_fn(
-                    nsteps, u, fields, free, diag_inv, state
+                    nsteps, u, fields, free, pcdata, state
                 )
                 k += nsteps
                 if float(rr) < tol:
