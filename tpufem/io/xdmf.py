@@ -94,3 +94,78 @@ def write_xdmf(
 """
     with open(path, "w") as fh:
         fh.write(xml)
+
+
+# -- reading -------------------------------------------------------------------
+
+_TOPO_TO_CELL = {v.lower(): k for k, v in _XDMF_TOPO.items()}
+_VTK_TO_HEX = np.argsort(_HEX_TO_VTK)
+_VTK_TO_QUAD = np.argsort(_QUAD_TO_VTK)
+
+
+def _read_dataitem(item, base_dir: str) -> np.ndarray:
+    """Load one <DataItem> — Binary sidecar or inline XML text.
+
+    The read half of the mesh-ingest contract (the reference reads its
+    meshes back through XDMFFile::read_mesh, FEniCSx/mechanic2d/
+    asym_elasto_damage_model.cc:152-164; ours round-trips the
+    XDMF+binary files write_xdmf produces)."""
+    dims = tuple(int(d) for d in item.get("Dimensions", "").split())
+    num = item.get("NumberType", "Float").lower()
+    prec = int(item.get("Precision", "8"))
+    if num.startswith("int"):
+        dtype = {4: np.int32, 8: np.int64}[prec]
+    else:
+        dtype = {4: np.float32, 8: np.float64}[prec]
+    fmt = item.get("Format", "XML").lower()
+    if fmt == "binary":
+        fn = (item.text or "").strip()
+        arr = np.fromfile(os.path.join(base_dir, fn), dtype=dtype)
+    elif fmt == "xml":
+        arr = np.array((item.text or "").split(), dtype=dtype)
+    else:
+        raise NotImplementedError(f"XDMF heavy-data format {fmt!r} "
+                                  "(HDF5 needs h5py, not in this image)")
+    return arr.reshape(dims) if dims else arr
+
+
+def read_xdmf(path: str):
+    """Read an XDMF file (XML + Binary sidecars) back into
+    (Mesh, point_data, cell_data).
+
+    Inverse of :func:`write_xdmf` (VTK node-order permutations undone);
+    also reads third-party XDMF with inline-XML data items.
+    """
+    import xml.etree.ElementTree as ET
+
+    base_dir = os.path.dirname(os.path.abspath(path))
+    root = ET.parse(path).getroot()
+    grid = root.find(".//Grid")
+    topo = grid.find("Topology")
+    geom = grid.find("Geometry")
+    ttype = topo.get("TopologyType").lower()
+    if ttype not in _TOPO_TO_CELL:
+        raise NotImplementedError(f"XDMF topology {ttype!r}")
+    cell_type = _TOPO_TO_CELL[ttype]
+    cells = _read_dataitem(topo.find("DataItem"), base_dir)
+    n_el = int(topo.get("NumberOfElements", len(cells)))
+    cells = np.asarray(cells, dtype=np.int64).reshape(n_el, -1)
+    if cell_type == CellType.hexahedron:
+        cells = cells[:, _VTK_TO_HEX]
+    elif cell_type == CellType.quad:
+        cells = cells[:, _VTK_TO_QUAD]
+    pts = _read_dataitem(geom.find("DataItem"), base_dir)
+    gtype = geom.get("GeometryType", "XYZ").upper()
+    ncomp = 2 if gtype == "XY" else 3
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, ncomp)
+
+    point_data, cell_data = {}, {}
+    for attr in grid.findall("Attribute"):
+        arr = _read_dataitem(attr.find("DataItem"), base_dir)
+        name = attr.get("Name")
+        if attr.get("Center", "Node").lower() == "node":
+            point_data[name] = arr
+        else:
+            cell_data[name] = arr
+    mesh = Mesh(x=pts, cells=cells.astype(np.int32), cell_type=cell_type)
+    return mesh, point_data, cell_data

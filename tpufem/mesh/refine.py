@@ -33,6 +33,8 @@ def refine_uniform(mesh: Mesh) -> Mesh:
         return _refine_triangle(mesh)
     if mesh.cell_type == CellType.quad:
         return _refine_quad(mesh)
+    if mesh.cell_type == CellType.tetra:
+        return _refine_tetra(mesh)
     if mesh.cell_type == CellType.hexahedron:
         return _refine_hex(mesh)
     raise NotImplementedError(mesh.cell_type)
@@ -99,6 +101,35 @@ def _refine_quad(mesh: Mesh) -> Mesh:
     cells = np.concatenate(children, axis=0).astype(INDEX_DTYPE)
     tags = np.tile(mesh.cell_tags, 4) if mesh.cell_tags is not None else None
     out = Mesh(x=new_x, cells=cells, cell_type=CellType.quad, cell_tags=tags)
+    _transfer_edge_tags(mesh, out, edges, edge_to_new)
+    return out
+
+
+def _refine_tetra(mesh: Mesh) -> Mesh:
+    """Bey's red (1:8) tetra refinement: 4 corner tets + the interior
+    octahedron cut into 4 tets along the m02-m13 diagonal (Bey 1995,
+    the scheme MFEM's hex/tet UniformRefinement and dolfinx's uniform
+    plaza path reduce to for the all-red case)."""
+    new_x, edges, c2e, edge_to_new = _midpoint_nodes(mesh)
+    v = mesh.cells  # (nc, 4)
+    m = edge_to_new[c2e]  # (nc, 6) in CELL_EDGES[tetra] order:
+    # e0=(2,3) e1=(1,3) e2=(1,2) e3=(0,3) e4=(0,2) e5=(0,1)
+    m23, m13, m12, m03, m02, m01 = (m[:, k] for k in range(6))
+    children = [
+        # corner tets
+        np.stack([v[:, 0], m01, m02, m03], axis=1),
+        np.stack([m01, v[:, 1], m12, m13], axis=1),
+        np.stack([m02, m12, v[:, 2], m23], axis=1),
+        np.stack([m03, m13, m23, v[:, 3]], axis=1),
+        # octahedron, diagonal m02-m13
+        np.stack([m01, m02, m03, m13], axis=1),
+        np.stack([m01, m02, m12, m13], axis=1),
+        np.stack([m02, m03, m13, m23], axis=1),
+        np.stack([m02, m12, m13, m23], axis=1),
+    ]
+    cells = np.concatenate(children, axis=0).astype(INDEX_DTYPE)
+    tags = np.tile(mesh.cell_tags, 8) if mesh.cell_tags is not None else None
+    out = Mesh(x=new_x, cells=cells, cell_type=CellType.tetra, cell_tags=tags)
     _transfer_edge_tags(mesh, out, edges, edge_to_new)
     return out
 

@@ -48,6 +48,88 @@ def _morton_order(centroids: np.ndarray, bits: int = 16) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
+def _rcb_order_split(centroids: np.ndarray, idx: np.ndarray, k: int):
+    """Recursive coordinate bisection: split along the longest axis at
+    the (load-proportional) median. Returns list of k cell-index arrays.
+
+    The METIS-quality-gap mitigation (doc.tex:390-410): on irregular
+    (polycrystal) meshes RCB cuts halo volume vs the Morton-SFC chunks
+    because every part is a compact axis-aligned box, not a curve
+    segment that can straddle thin slivers."""
+    if k == 1:
+        return [idx]
+    k1 = k // 2
+    pts = centroids[idx]
+    ax = int(np.argmax(pts.max(axis=0) - pts.min(axis=0)))
+    m = int(round(len(idx) * k1 / k))
+    order = np.argsort(pts[:, ax], kind="stable")
+    return _rcb_order_split(centroids, idx[order[:m]], k1) + _rcb_order_split(
+        centroids, idx[order[m:]], k - k1
+    )
+
+
+def rcb_partition(mesh: Mesh, n_shards: int) -> np.ndarray:
+    """(n_cells,) part id per cell by recursive coordinate bisection."""
+    centroids = mesh.x[mesh.cells].mean(axis=1)
+    parts = _rcb_order_split(
+        centroids, np.arange(mesh.n_cells, dtype=np.int64), n_shards
+    )
+    cell_part = np.empty(mesh.n_cells, dtype=np.int64)
+    for s, ids in enumerate(parts):
+        cell_part[ids] = s
+    return cell_part
+
+
+def sfc_partition(mesh: Mesh, n_shards: int) -> np.ndarray:
+    """(n_cells,) part id per cell: contiguous Morton-curve chunks."""
+    centroids = mesh.x[mesh.cells].mean(axis=1)
+    order = _morton_order(centroids)
+    bounds = np.linspace(0, mesh.n_cells, n_shards + 1).astype(np.int64)
+    cell_part = np.empty(mesh.n_cells, dtype=np.int64)
+    for s in range(n_shards):
+        cell_part[order[bounds[s] : bounds[s + 1]]] = s
+    return cell_part
+
+
+def partition_quality(mesh: Mesh, cell_part: np.ndarray) -> dict:
+    """Edge-cut / balance report (the numbers METIS would print,
+    doc.tex:390-410): cut facets, per-part cell counts, and the
+    node-halo volume (nodes touched by >1 part, counted once per extra
+    part)."""
+    from tpufem.mesh.topology import build_entities
+
+    facets, c2f = build_entities(mesh, mesh.dim - 1)
+    nf = len(facets)
+    nlf = c2f.shape[1]
+    p = np.repeat(cell_part, nlf)
+    f = c2f.ravel().astype(np.int64)
+    fmin = np.full(nf, np.iinfo(np.int64).max)
+    fmax = np.full(nf, -1, dtype=np.int64)
+    np.minimum.at(fmin, f, p)
+    np.maximum.at(fmax, f, p)
+    edge_cut = int((fmax != fmin).sum())
+    counts = np.bincount(cell_part, minlength=int(cell_part.max()) + 1)
+    # halo volume: Σ_nodes (#parts touching - 1)
+    n_parts = int(cell_part.max()) + 1
+    pairs = np.unique(
+        np.stack(
+            [np.repeat(cell_part, mesh.cells.shape[1]),
+             mesh.cells.ravel().astype(np.int64)], axis=1
+        ),
+        axis=0,
+    )
+    touch = np.bincount(pairs[:, 1], minlength=mesh.n_nodes)
+    halo = int(np.maximum(touch - 1, 0).sum())
+    return {
+        "edge_cut": edge_cut,
+        "halo_nodes": halo,
+        "cells_min": int(counts.min()),
+        "cells_max": int(counts.max()),
+        "imbalance": float(counts.max() / max(counts.mean(), 1e-30)),
+        "n_parts": n_parts,
+    }
+
+
 @dataclasses.dataclass
 class MeshPartition:
     """Static plan for an n-shard decomposition of one FunctionSpace's
@@ -82,21 +164,28 @@ def partition_mesh(
     n_shards: int,
     *,
     order: Optional[np.ndarray] = None,
+    method: str = "sfc",
 ) -> MeshPartition:
-    """Partition the cells of ``space.mesh`` into ``n_shards`` shards."""
+    """Partition the cells of ``space.mesh`` into ``n_shards`` shards.
+
+    ``method``: 'sfc' (Morton chunks) or 'rcb' (recursive coordinate
+    bisection — lower edge-cut on irregular meshes)."""
     mesh = space.mesh
     dofmap = space.dofmap  # (nc, ndofe) scalar dofs
     nc, ndofe = dofmap.shape
     n_dofs = space.n_scalar_dofs
 
-    if order is None:
-        centroids = mesh.x[mesh.cells].mean(axis=1)
-        order = _morton_order(centroids)
-    # contiguous chunks along the SFC
-    bounds = np.linspace(0, nc, n_shards + 1).astype(np.int64)
-    cell_part = np.empty(nc, dtype=np.int64)
-    for s in range(n_shards):
-        cell_part[order[bounds[s] : bounds[s + 1]]] = s
+    if order is not None:
+        bounds = np.linspace(0, nc, n_shards + 1).astype(np.int64)
+        cell_part = np.empty(nc, dtype=np.int64)
+        for s in range(n_shards):
+            cell_part[order[bounds[s] : bounds[s + 1]]] = s
+    elif method == "rcb":
+        cell_part = rcb_partition(mesh, n_shards)
+    elif method == "sfc":
+        cell_part = sfc_partition(mesh, n_shards)
+    else:
+        raise ValueError(f"unknown partition method {method!r}")
 
     # dof ownership: owner = min shard touching the dof
     dof_owner = np.full(n_dofs, n_shards, dtype=np.int64)
