@@ -1,0 +1,160 @@
+"""Lane-partitioned unstructured engine tests (interpret-mode Pallas):
+plan invariants, kernel primitives, residual/tangent/diagonal parity
+with the flat Assembler, and a full Newton-Krylov solve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufem.assemble import Assembler
+from tpufem.config import SolverConfig
+from tpufem.forms import EnergyFunctional, asym_damage_psi, linear_elastic_psi
+from tpufem.forms.form import Coefficient, Term
+from tpufem.lane import LaneEngine, build_lane_plan
+from tpufem.lane.kernels import lane_gather, lane_scatter
+from tpufem.mesh import unit_square
+from tpufem.spaces import DirichletBC, FunctionSpace
+from tpufem.spaces.bc import locate_dofs_geometrical
+
+E, NU = 1.0e6, 0.3
+
+
+def _problem(n=24, law="damage"):
+    mesh = unit_square(n)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    if law == "damage":
+        DS = FunctionSpace.create(mesh, 1, bs=1)
+        d = np.zeros(DS.n_dofs)
+        d[(DS.dof_coords[:, 1] > 0.45) & (DS.dof_coords[:, 1] < 0.55)] = 0.8
+        t = Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), E, NU), 1)
+        F = EnergyFunctional(V, [t], [Coefficient("d", DS)])
+        coeffs = {"d": jnp.asarray(d)}
+    else:
+        t = Term(lambda qp: linear_elastic_psi(qp.eps, E, NU), 1)
+        F = EnergyFunctional(V, [t])
+        coeffs = {}
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    right = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0] - 1) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0]),
+           DirichletBC(V, right, [0.01, 0.0])]
+    return F, bcs, V, coeffs, Assembler(F, bcs)
+
+
+def test_plan_invariants():
+    mesh = unit_square(40)
+    plan = build_lane_plan(mesh.x, mesh.cells, wg_own=8)
+    # every node has exactly one home slot
+    assert plan.owned_mask.sum() == mesh.n_nodes
+    # every cell placed exactly once
+    assert (plan.cell_order >= 0).sum() == mesh.n_cells
+    placed = np.sort(plan.cell_order[plan.cell_order >= 0])
+    assert (placed == np.arange(mesh.n_cells)).all()
+    # gather idx within window, valid exactly at placed cells
+    gi = plan.gather_idx
+    assert gi.max() < plan.wg
+    valid = (gi >= 0).all(axis=1)  # (G, kc, 128) all nv present together
+    some = (gi >= 0).any(axis=1)
+    assert (valid == some).all()
+    # alignment for the kernels
+    assert plan.wg % 8 == 0 and plan.kc % 8 == 0 and plan.wg_copy % 8 == 0
+
+
+def test_kernel_primitives_interpret():
+    rng = np.random.default_rng(0)
+    C, R, T, V, K, wr = 2, 64, 4, 3, 8, 16
+    vals = jnp.asarray(rng.normal(size=(C, R, 128)))
+    starts = jnp.asarray(np.array([0, 16, 32, 48], np.int32))
+    idx = rng.integers(-1, wr, (T, V, K, 128)).astype(np.int32)
+    out = np.asarray(lane_gather(vals, starts, jnp.asarray(idx), wr=wr,
+                                 interpret=True))
+    vnp = np.asarray(vals)
+    for t in range(T):
+        for v in range(V):
+            for k in range(K):
+                for j in range(0, 128, 37):
+                    i = idx[t, v, k, j]
+                    exp = 0.0 if i < 0 else vnp[:, int(starts[t]) + i, j]
+                    np.testing.assert_allclose(out[t, :, v, k, j], exp)
+    # sum mode == sum over V of the non-summed result
+    out_s = np.asarray(lane_gather(vals, starts, jnp.asarray(idx), wr=wr,
+                                   sum_v=True, interpret=True))
+    np.testing.assert_allclose(out_s, out.sum(axis=2), atol=1e-14)
+
+    # scatter: adjoint-style check vs dense reference
+    S, k_out = 24, 16
+    src = jnp.asarray(rng.normal(size=(C, 96, 128)))
+    sstarts = jnp.asarray(np.array([0, 24, 48, 72], np.int32))
+    didx = rng.integers(-1, k_out, (T, S, 128)).astype(np.int32)
+    got = np.asarray(lane_scatter(src, sstarts, jnp.asarray(didx), sk=S,
+                                  k_out=k_out, interpret=True))
+    exp = np.zeros((T, C, k_out, 128))
+    snp = np.asarray(src)
+    for t in range(T):
+        for r in range(S):
+            for j in range(128):
+                kdst = didx[t, r, j]
+                if kdst >= 0:
+                    exp[t, :, kdst, j] += snp[:, int(sstarts[t]) + r, j]
+    np.testing.assert_allclose(got, exp, atol=1e-13)
+
+
+def test_residual_tangent_match_assembler():
+    F, bcs, V, coeffs, asm = _problem(24)
+    eng = LaneEngine(F, bcs, wg_own=8, interpret=True)
+    rng = np.random.default_rng(0)
+    u_flat = rng.normal(size=V.n_dofs) * 1e-3
+    u_lane = jnp.asarray(eng.to_lane(u_flat))
+    cc = eng.prepare_coeffs(coeffs)
+    r = eng.from_lane(eng.residual(u_lane, cc))
+    r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), coeffs))
+    assert np.abs(r - r_ref).max() < 1e-12 * np.abs(r_ref).max()
+    v_flat = rng.normal(size=V.n_dofs)
+    tv = eng.from_lane(
+        eng.tangent_action(u_lane, cc, jnp.asarray(eng.to_lane(v_flat)))
+    )
+    tv_ref = np.asarray(
+        asm.tangent_action(jnp.asarray(u_flat), coeffs, jnp.asarray(v_flat))
+    )
+    assert np.abs(tv - tv_ref).max() < 1e-12 * np.abs(tv_ref).max()
+    # copy slots stay consistent with home slots
+    p = eng.plan
+    rl = np.asarray(eng.residual(u_lane, cc))
+    cp = rl[:, p.copy_dst_rows, p.copy_dst_lanes]
+    hm = rl[:, p.copy_src_rows, p.copy_src_lanes]
+    assert np.abs(cp - hm).max() < 1e-12
+
+
+def test_generic_path_matches_fast_path():
+    """Force the generic element pipeline (multi-term functional) and
+    check it against the flat Assembler too."""
+    mesh = unit_square(12)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    t1 = Term(lambda qp: linear_elastic_psi(qp.eps, E, NU), 1)
+    t2 = Term(lambda qp: -1e3 * qp.u[0] * qp.x[1], 2)  # volumetric load
+    F = EnergyFunctional(V, [t1, t2])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    asm = Assembler(F, bcs)
+    eng = LaneEngine(F, bcs, wg_own=8, interpret=True)
+    assert eng._fast_fn is None  # generic path active
+    rng = np.random.default_rng(1)
+    u_flat = rng.normal(size=V.n_dofs) * 1e-3
+    r = eng.from_lane(eng.residual(jnp.asarray(eng.to_lane(u_flat)), {}))
+    r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), {}))
+    assert np.abs(r - r_ref).max() < 1e-12 * np.abs(r_ref).max()
+
+
+def test_lane_solve_matches_flat():
+    from tpufem.nls.newton_jit import make_newton_solver
+
+    F, bcs, V, coeffs, asm = _problem(20)
+    eng = LaneEngine(F, bcs, wg_own=8, interpret=True)
+    cc = eng.prepare_coeffs(coeffs)
+    cfg = SolverConfig(cg_rtol=1e-12)
+    u_l, stats = eng.make_solver(cfg, cg_chunk=200)(
+        jnp.zeros_like(eng.bc_lane), cc
+    )
+    assert stats["converged"]
+    ref = make_newton_solver(asm, cfg)(jnp.zeros(V.n_dofs), coeffs)
+    assert np.abs(eng.from_lane(u_l) - np.asarray(ref.u)).max() < 1e-9

@@ -1,0 +1,217 @@
+"""Host-side planner for the lane-partitioned unstructured layout.
+
+Nodes are split into 128 vertical strips (equal node count, by x), each
+strip sorted by y and chopped into *bins* of ``wg_own`` nodes; bin g of
+lane j occupies rows [g*wg, g*wg + wg) of column j in every (R, 128)
+state array (wg = wg_own + copy rows). Cells are assigned to the home
+bin of their first node; any cell node whose home is a different bin
+gets a *copy slot* inside the cell's bin, so every per-cell access is a
+row offset inside one bin window — the shape the measured-fast windowed
+select kernels need (benchmarks/gather_kernel_probe4.py).
+
+This is the owner/ghost construction of the reference's IndexMap
+(FEniCSx/mechanic2d/asym_elasto_damage_model.cc:325-344) applied at
+vector-lane granularity: owned rows = size_local, copy rows = ghosts,
+owner-sum = scatter_rev(add), copy refresh = scatter_fwd.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+N_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class LanePlan:
+    n_nodes: int
+    n_cells: int
+    nv: int  # nodes per cell
+    wg_own: int
+    wg: int  # bin window rows (own + copies, 8-aligned)
+    G: int  # bins per lane
+    kc: int  # padded cells per bin
+    R: int  # total rows = G * wg
+
+    # node <-> slot maps (home slots)
+    node_row: np.ndarray  # (n_nodes,) home row in [0, R)
+    node_lane: np.ndarray  # (n_nodes,)
+    owned_mask: np.ndarray  # (R, 128) bool — true at home slots
+
+    # cell order: lane cell column m = (g*kc + k)*128 + j  -> global cell
+    cell_order: np.ndarray  # (G*kc*128,) global cell id or -1
+    cell_valid: np.ndarray  # (G*kc*128,) bool
+
+    # kernel plans
+    gather_idx: np.ndarray  # (G, nv, kc, 128) int32 in [-1, wg)
+    gather_starts: np.ndarray  # (G,) int32 = g*wg
+    # owner-sum passes: (p, q) -> idx (G, V, wg_own, 128) in [-1, wg_copy)
+    owner_passes: List[Tuple[int, int, np.ndarray]]
+    # refresh passes: (p, q) -> idx (G, 1, wg_copy, 128) in [-1, wg_own)
+    refresh_passes: List[Tuple[int, int, np.ndarray]]
+
+    @property
+    def wg_copy(self) -> int:
+        return self.wg - self.wg_own
+
+    # -- layout conversions (host) --------------------------------------------
+
+    def to_lane(self, u_flat: np.ndarray, bs: int) -> np.ndarray:
+        """byVDIM flat (n_nodes*bs,) -> (bs, R, 128) with copies filled."""
+        u = np.asarray(u_flat).reshape(self.n_nodes, bs)
+        out = np.zeros((bs, self.R, N_LANES), dtype=u.dtype)
+        out[:, self.node_row, self.node_lane] = u.T
+        # fill copies so the result is consistent without a device refresh
+        if len(self.copy_dst_rows):
+            out[:, self.copy_dst_rows, self.copy_dst_lanes] = out[
+                :, self.copy_src_rows, self.copy_src_lanes
+            ]
+        return out
+
+    def from_lane(self, u_lane: np.ndarray, bs: int) -> np.ndarray:
+        u_lane = np.asarray(u_lane)
+        out = u_lane[:, self.node_row, self.node_lane].T  # (n_nodes, bs)
+        return out.reshape(-1)
+
+    # copy slots (vectorized fill tables), set by the builder
+    copy_dst_rows: np.ndarray = None
+    copy_dst_lanes: np.ndarray = None
+    copy_src_rows: np.ndarray = None
+    copy_src_lanes: np.ndarray = None
+
+
+def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
+                    wg_own: int = 16) -> LanePlan:
+    """Build the plan from node coordinates (n, gdim) and the (nc, nv)
+    P1 cell->node table."""
+    x = np.asarray(mesh_x)
+    cells = np.asarray(cells)
+    n, nc = len(x), len(cells)
+    nv = cells.shape[1]
+    if wg_own % 8 != 0:
+        raise ValueError("wg_own must be a multiple of 8 (sublane tiling)")
+
+    # --- node strips and bins -------------------------------------------------
+    by_x = np.argsort(x[:, 0], kind="stable")
+    lane_of = np.empty(n, dtype=np.int64)
+    bounds = np.linspace(0, n, N_LANES + 1).astype(np.int64)
+    for j in range(N_LANES):
+        lane_of[by_x[bounds[j] : bounds[j + 1]]] = j
+    # rank within lane by y (then x for ties)
+    order = np.lexsort((x[:, 0], x[:, 1], lane_of))
+    rank = np.empty(n, dtype=np.int64)
+    # position within each lane
+    lane_sorted = lane_of[order]
+    starts = np.searchsorted(lane_sorted, np.arange(N_LANES))
+    rank[order] = np.arange(n) - starts[lane_sorted]
+    bin_of = rank // wg_own
+    row_in_bin = rank % wg_own
+    G = int(bin_of.max()) + 1
+
+    # --- cells -> home bins -----------------------------------------------------
+    cell_lane = lane_of[cells[:, 0]]
+    cell_bin = bin_of[cells[:, 0]]
+    cell_key = cell_bin * N_LANES + cell_lane
+    csort = np.argsort(cell_key, kind="stable")
+    key_sorted = cell_key[csort]
+    kstart = np.searchsorted(key_sorted, np.arange(G * N_LANES))
+    cpos = np.empty(nc, dtype=np.int64)
+    cpos[csort] = np.arange(nc) - kstart[key_sorted]
+    kc = _round_up(max(int(np.bincount(cell_key).max()), 1), 8)
+
+    # --- copies -----------------------------------------------------------------
+    # (cell-bin-key, node) pairs where the node's home differs
+    node_key = bin_of * N_LANES + lane_of  # home bin key per node
+    ck = np.repeat(cell_key, nv)
+    nd = cells.ravel()
+    foreign = node_key[nd] != ck
+    pairs = np.stack([ck[foreign], nd[foreign]], axis=1)
+    upairs, pair_inv_f = np.unique(pairs, axis=0, return_inverse=True)
+    # rank of each unique copy within its bin
+    ubin = upairs[:, 0]
+    ustart = np.searchsorted(ubin, np.arange(G * N_LANES))
+    copy_rank = np.arange(len(upairs)) - ustart[ubin]
+    copies_per_bin = np.bincount(ubin, minlength=G * N_LANES)
+    wg_copy = _round_up(max(int(copies_per_bin.max()) if len(upairs) else 8, 8), 8)
+    wg = wg_own + wg_copy
+    R = G * wg
+
+    # node home rows (global)
+    node_row = bin_of * wg + row_in_bin
+    owned_mask = np.zeros((R, N_LANES), dtype=bool)
+    owned_mask[node_row, lane_of] = True
+
+    # --- gather idx --------------------------------------------------------------
+    # local offset per (cell, v): own row_in_bin, or wg_own + copy_rank
+    off = np.empty(nc * nv, dtype=np.int64)
+    own_sel = ~foreign
+    off[own_sel] = (bin_of * 0 + row_in_bin)[nd[own_sel]]
+    off[foreign] = wg_own + copy_rank[pair_inv_f]
+    off = off.reshape(nc, nv)
+
+    gather_idx = np.full((G, nv, kc, N_LANES), -1, dtype=np.int32)
+    g_arr = cell_bin
+    j_arr = cell_lane
+    for v in range(nv):
+        gather_idx[g_arr, v, cpos, j_arr] = off[:, v]
+    gather_starts = (np.arange(G) * wg).astype(np.int32)
+
+    cell_order = np.full(G * kc * N_LANES, -1, dtype=np.int64)
+    cell_order[(g_arr * kc + cpos) * N_LANES + j_arr] = np.arange(nc)
+    cell_valid = cell_order >= 0
+
+    # --- owner-sum / refresh passes -----------------------------------------------
+    # copy slot: bin (gc, jc), row wg_own+i ; source: home slot of node
+    gc = ubin // N_LANES
+    jc = ubin % N_LANES
+    un = upairs[:, 1]
+    gh = bin_of[un]
+    jh = lane_of[un]
+    p_arr = (jh - jc).astype(np.int64)  # lane shift src - dst
+    q_arr = (gh - gc).astype(np.int64)
+
+    owner_passes = []
+    refresh_passes = []
+    for p in np.unique(p_arr):
+        for q in np.unique(q_arr[p_arr == p]):
+            sel = (p_arr == p) & (q_arr == q)
+            if not sel.any():
+                continue
+            # refresh: dst copy (gc, wg_own+i, jc) <- src owned row
+            # in bin gc+q, lane jc+p: kernel runs values=roll(u, -p),
+            # window start (g+q)*wg, idx = row_in_bin of source
+            ridx = np.full((G, 1, wg_copy, N_LANES), -1, dtype=np.int32)
+            ridx[gc[sel], 0, copy_rank[sel], jc[sel]] = row_in_bin[un[sel]]
+            refresh_passes.append((int(p), int(q), ridx))
+            # owner-sum: dst owner (gh, row_in_bin, jh) <- copy partial
+            # at bin gh-q (==gc), lane jh-p (==jc), copy row i:
+            # kernel: values=roll(partial, +p)? -> source lane jh-p means
+            # roll(partial, p)[.., jh] = partial[.., jh-p]  => shift=-p
+            # window start (g-q)*wg + wg_own, idx = copy_rank
+            # V handling: multiple copies of the same owner in the SAME
+            # (p, q) pass cannot happen (a node has at most one copy per
+            # bin, and (p,q) fixes the bin) -> V=1
+            oidx = np.full((G, 1, wg_own, N_LANES), -1, dtype=np.int32)
+            oidx[gh[sel], 0, row_in_bin[un[sel]], jh[sel]] = copy_rank[sel]
+            owner_passes.append((int(p), int(q), oidx))
+
+    plan = LanePlan(
+        n_nodes=n, n_cells=nc, nv=nv, wg_own=wg_own, wg=wg, G=G, kc=kc,
+        R=R, node_row=node_row, node_lane=lane_of, owned_mask=owned_mask,
+        cell_order=cell_order, cell_valid=cell_valid,
+        gather_idx=gather_idx, gather_starts=gather_starts,
+        owner_passes=owner_passes, refresh_passes=refresh_passes,
+    )
+    # host copy-fill tables (vectorized)
+    plan.copy_dst_rows = gc * wg + wg_own + copy_rank
+    plan.copy_dst_lanes = jc
+    plan.copy_src_rows = node_row[un]
+    plan.copy_src_lanes = jh
+    return plan
