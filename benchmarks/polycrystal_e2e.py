@@ -1,0 +1,46 @@
+"""The reference workload SHAPE at scale: unstructured jittered-Delaunay
+polycrystal (200 Voronoi grains, glibc-seeded per-grain E, damage band +
+smoothing), ingested through gmsh 2.2, solved end-to-end on the lane
+engine — VERDICT round-2 item 4.
+
+Reference context: 6.17M DoF Neper polycrystal, 814 s on 1 CPU core /
+13.4 s on 128 (BASELINE.md).
+
+Usage: python benchmarks/polycrystal_e2e.py [n=1024] [cg_rtol=1e-8]
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    from tpufem.cases import polycrystal
+    from tpufem.config import SolverConfig
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    rtol = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-8
+
+    t0 = time.perf_counter()
+    res = polycrystal.run(
+        n,
+        solver=SolverConfig(
+            cg_rtol=rtol, newton_rtol=1e-6, cg_maxit=30000,
+            error_on_nonconvergence=False, verbose=True,
+        ),
+        gmsh_roundtrip=(n <= 512),  # ASCII IO at 2M cells is host-bound
+    )
+    total = time.perf_counter() - t0
+    print(f"\npolycrystal e2e: {res.n_dofs/1e6:.2f}M dofs, total {total:.1f}s")
+    for k, v in res.timings.items():
+        print(f"  {k:28s} {v:8.2f}s")
+    print(f"  stats: {res.stats}")
+    print(f"  energy: {res.energy:.8e}")
+
+
+if __name__ == "__main__":
+    main()

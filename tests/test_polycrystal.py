@@ -1,0 +1,99 @@
+"""Synthetic polycrystal workload (the reference's Neper shape) on the
+unstructured lane path: generation invariants, gmsh round trip, e2e
+solve, and agreement with the structured-grid solve on the equivalent
+continuum problem."""
+
+import numpy as np
+import pytest
+
+from tpufem.cases import polycrystal
+from tpufem.config import SolverConfig
+
+
+def test_generate_polycrystal():
+    mesh = polycrystal.generate_polycrystal(24, n_grains=20)
+    assert mesh.n_nodes == 25 * 25
+    assert mesh.cell_tags.min() >= 1 and mesh.cell_tags.max() <= 20
+    assert len(np.unique(mesh.cell_tags)) >= 15  # most grains hit
+    # all cells positive area, total area 1
+    v = mesh.x[mesh.cells]
+    a2 = (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1]) - (
+        v[:, 2, 0] - v[:, 0, 0]
+    ) * (v[:, 1, 1] - v[:, 0, 1])
+    assert np.abs(np.abs(a2).sum() / 2 - 1.0) < 1e-12
+    # interior nodes genuinely jittered (unstructured)
+    assert np.abs(mesh.x[:, 0] * 24 - np.round(mesh.x[:, 0] * 24)).max() > 1e-3
+
+
+def test_gmsh_roundtrip_preserves_mesh(tmp_path):
+    from tpufem.mesh.gmsh import read_gmsh, write_gmsh
+
+    mesh = polycrystal.generate_polycrystal(10, n_grains=5)
+    path = str(tmp_path / "poly.msh")
+    write_gmsh(path, mesh)
+    m2 = read_gmsh(path)
+    np.testing.assert_allclose(m2.x, mesh.x, atol=1e-14)
+    np.testing.assert_array_equal(m2.cells, mesh.cells)
+    np.testing.assert_array_equal(m2.cell_tags, mesh.cell_tags)
+
+
+def test_polycrystal_e2e_small():
+    res = polycrystal.run(
+        20, n_grains=12, gmsh_roundtrip=True, interpret=True,
+        solver=SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False),
+        smooth_iters=4,
+    )
+    assert res.stats["converged"]
+    assert res.energy > 0 and np.isfinite(res.energy)
+    # BC check on the recovered flat vector
+    uu = res.u_flat.reshape(-1, 2)
+    right = np.abs(res.mesh.x[:, 0] - 1) < 1e-9
+    np.testing.assert_allclose(uu[right, 0], 0.01, atol=1e-12)
+    np.testing.assert_allclose(uu[np.abs(res.mesh.x[:, 0]) < 1e-9], 0.0,
+                               atol=1e-12)
+
+
+def test_polycrystal_matches_structured_continuum():
+    """With constant E and the same (unsmoothed) damage band, the
+    unstructured polycrystal solve and the structured lattice solve
+    discretize the same continuum problem — energies must agree to
+    discretization error."""
+    import jax.numpy as jnp
+
+    from tpufem.forms import asym_damage_psi
+    from tpufem.structured import StructuredGrid2D
+    from tpufem.structured.solve import make_grid_solver
+
+    n = 32
+    res = polycrystal.run(
+        n, n_grains=8, use_ecst=True, interpret=True, smooth_iters=0,
+        solver=SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False),
+    )
+
+    E, NU = 1.0e6, 0.3
+    grid = StructuredGrid2D(
+        nx=n, ny=n, hx=1 / n, hy=1 / n, bs=2,
+        energy_density=lambda g, c: asym_damage_psi(
+            0.5 * (g + g.T), c["d"], E, NU
+        ),
+        field_kinds={"d": "vertex"},
+    )
+    yy = np.linspace(0, 1, n + 1)[:, None]
+    d = jnp.asarray(
+        np.broadcast_to(
+            ((yy > 0.48) & (yy < 0.52)) * 1.0, (n + 1, n + 1)
+        ).copy()
+    )
+    free = np.ones((2, n + 1, n + 1))
+    free[:, :, 0] = 0.0
+    free[:, :, -1] = 0.0
+    bcv = np.zeros((2, n + 1, n + 1))
+    bcv[0, :, -1] = 0.01
+    gres = make_grid_solver(
+        grid, SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False)
+    )(jnp.zeros((2, n + 1, n + 1)), {"d": d}, jnp.asarray(free * 1.0),
+      jnp.asarray(bcv * 1.0))
+    e_struct = float(grid.energy(gres.u, {"d": d}))
+    assert abs(res.energy - e_struct) < 0.05 * abs(e_struct), (
+        res.energy, e_struct,
+    )

@@ -1,0 +1,206 @@
+"""Synthetic Neper-style polycrystal workload on the unstructured path.
+
+The reference's benchmark mesh is an unstructured Neper polycrystal of
+~200 grains (doc.tex:163-187) at ~3.08M nodes / 6.17M displacement dofs
+(doc.tex:2336-2337); the actual mesh blobs are stripped from the mount
+(.MISSING_LARGE_BLOBS). This module generates a statistically equivalent
+workload — a jittered Delaunay triangulation of the unit square with
+Voronoi grain tags — writes/reads it through the gmsh 2.2 ingest path,
+and solves the same asymmetric elasto-damage problem end-to-end on the
+lane-partitioned unstructured engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from tpufem.config import INDEX_DTYPE, SolverConfig
+from tpufem.mesh.mesh import CellType, Mesh
+from tpufem.utils.glibc_rand import GlibcRand
+
+
+def generate_polycrystal(
+    n: int,
+    *,
+    n_grains: int = 200,
+    seed: int = 6575,
+    jitter: float = 0.35,
+) -> Mesh:
+    """Unstructured triangulation of the unit square with grain tags.
+
+    (n+1)^2 nodes on a jittered lattice (boundary nodes stay exact so
+    Dirichlet predicates work), Delaunay-triangulated; each cell gets
+    the grain tag of the nearest of ``n_grains`` seed points — a Voronoi
+    polycrystal. Grain seeds and jitter are reproducible (numpy PCG with
+    ``seed``; the per-grain E field later reuses the reference's glibc
+    srand(6575) stream keyed by these tags, mechanic2d.young_modulus_range).
+    """
+    from scipy.spatial import Delaunay, cKDTree
+
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(0.0, 1.0, n + 1)
+    X, Y = np.meshgrid(xs, xs, indexing="xy")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    h = 1.0 / n
+    inner = (
+        (pts[:, 0] > 0) & (pts[:, 0] < 1) & (pts[:, 1] > 0) & (pts[:, 1] < 1)
+    )
+    pts[inner] += rng.uniform(-jitter * h, jitter * h, (inner.sum(), 2))
+
+    tri = Delaunay(pts)
+    cells = tri.simplices.astype(INDEX_DTYPE)
+    # drop degenerate slivers (qhull can emit near-zero-area cells on
+    # cocircular boundary points)
+    v = pts[cells]
+    area2 = np.abs(
+        (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+        - (v[:, 2, 0] - v[:, 0, 0]) * (v[:, 1, 1] - v[:, 0, 1])
+    )
+    cells = cells[area2 > 1e-14]
+
+    seeds = rng.uniform(0.0, 1.0, (n_grains, 2))
+    centroids = pts[cells].mean(axis=1)
+    _, grain = cKDTree(seeds).query(centroids)
+    return Mesh(
+        x=pts, cells=cells, cell_type=CellType.triangle,
+        cell_tags=(grain + 1).astype(INDEX_DTYPE),
+    )
+
+
+@dataclasses.dataclass
+class PolycrystalResult:
+    mesh: Mesh
+    n_dofs: int
+    u_flat: np.ndarray
+    energy: float
+    stats: dict
+    timings: dict
+
+
+def run(
+    n: int = 128,
+    *,
+    n_grains: int = 200,
+    use_ecst: bool = False,
+    solver: Optional[SolverConfig] = None,
+    wg_own: int = 16,
+    gmsh_roundtrip: bool = False,
+    smooth_iters: int = 8,
+    interpret: bool = False,
+    mesh: Optional[Mesh] = None,
+) -> PolycrystalResult:
+    """End-to-end: generate (or take) the polycrystal, optional gmsh 2.2
+    write+read round trip, per-grain E via the reference's glibc stream,
+    damage band + smoothing, LaneEngine Newton-Krylov solve.
+
+    Mirrors the mechanic2d phase structure on the *unstructured* path —
+    the reference's actual workload shape (doc.tex:163-187).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpufem.cases import mechanic2d
+    from tpufem.cases.damage import smooth_damage
+    from tpufem.forms import EnergyFunctional, asym_damage_psi
+    from tpufem.forms.form import Coefficient, Term
+    from tpufem.lane import LaneEngine
+    from tpufem.spaces import DirichletBC, FunctionSpace
+    from tpufem.spaces.bc import locate_dofs_geometrical
+
+    timings = {}
+    t0 = time.perf_counter()
+    if mesh is None:
+        mesh = generate_polycrystal(n, n_grains=n_grains)
+    timings["2.1 generate/read mesh"] = time.perf_counter() - t0
+
+    if gmsh_roundtrip:
+        import os
+        import tempfile
+
+        from tpufem.mesh.gmsh import read_gmsh, write_gmsh
+
+        t0 = time.perf_counter()
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "poly.msh")
+            write_gmsh(path, mesh)
+            mesh = read_gmsh(path)
+        timings["2.1b gmsh roundtrip"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    timings["3.1 define space"] = time.perf_counter() - t0
+
+    # per-grain Young's modulus from the reference's srand(6575) stream
+    t0 = time.perf_counter()
+    E_range = mechanic2d.young_modulus_range(use_ecst=use_ecst)
+    tags = np.asarray(mesh.cell_tags, dtype=np.int64)
+    E_cell = E_range[tags % 200]
+    timings["4.1 material constant"] = time.perf_counter() - t0
+
+    # damage: band of nodes, smoothed by the reference's loop
+    t0 = time.perf_counter()
+    d0 = np.zeros(DS.n_dofs)
+    yc = DS.dof_coords[:, 1]
+    d0[(yc > 0.48) & (yc < 0.52)] = 1.0
+    import jax.numpy as jnp
+
+    d = np.asarray(
+        smooth_damage(mesh, jnp.asarray(d0), iterations=smooth_iters)
+    )
+    timings["3.2 define damage"] = time.perf_counter() - t0
+
+    NU = 0.3
+    t0 = time.perf_counter()
+    # per-cell E enters as a P0 coefficient
+    P0 = FunctionSpace.create(mesh, 0, bs=1)
+    stiff = Term(
+        integrand=lambda qp: asym_damage_psi(
+            qp.eps, qp.coeff("d"), qp.coeff("E"), NU
+        ),
+        degree=1,
+    )
+    F = EnergyFunctional(
+        V, [stiff], [Coefficient("d", DS), Coefficient("E", P0)]
+    )
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    right = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0] - 1) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0]),
+           DirichletBC(V, right, [0.01, 0.0])]
+    timings["5.1 dirichlet setting"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    eng = LaneEngine(F, bcs, wg_own=wg_own, interpret=interpret)
+    cc = eng.prepare_coeffs(
+        {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)}
+    )
+    timings["7.1 lane plan + coeffs"] = time.perf_counter() - t0
+
+    cfg = solver or SolverConfig(
+        cg_rtol=1e-8, newton_rtol=1e-6, cg_maxit=20000,
+        error_on_nonconvergence=False,
+    )
+    t0 = time.perf_counter()
+    solve = eng.make_solver(cfg, cg_chunk=200)
+    u_lane, stats = solve(jnp.zeros_like(eng.bc_lane), cc)
+    timings["7.3 nonlinear resolution"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    u_flat = eng.from_lane(u_lane)
+    u_cells = eng._gather_cells(u_lane)
+    fn, xarg, xax = eng._elem_args(u_lane.dtype)
+    e_cells = jax.vmap(fn, in_axes=(-1,) + xax + (-1,))(
+        u_cells, xarg, cc
+    )
+    valid = jnp.asarray(eng.plan.cell_valid)
+    energy = float(jnp.sum(jnp.where(valid, e_cells, 0.0)))
+    timings["8.1 postprocess"] = time.perf_counter() - t0
+
+    return PolycrystalResult(
+        mesh=mesh, n_dofs=V.n_dofs, u_flat=u_flat, energy=energy,
+        stats=stats, timings=timings,
+    )

@@ -82,7 +82,7 @@ def lane_gather(values, starts, idx, *, wr: int, sum_v: bool = False,
             in_specs=[
                 pl.BlockSpec((1, V, K, L), lambda t, s: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, out_chan, K, L), lambda t, s: (t, 0, 0, 0),
@@ -144,7 +144,7 @@ def lane_scatter(src, starts, dest_idx, *, sk: int, k_out: int,
             in_specs=[
                 pl.BlockSpec((1, SK, L), lambda t, s: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, C, k_out, L), lambda t, s: (t, 0, 0, 0),

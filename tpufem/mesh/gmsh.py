@@ -62,26 +62,42 @@ def read_gmsh(path: str) -> Mesh:
             i += 3
         elif line == "$Nodes":
             count = int(lines[i + 1])
-            node_ids = np.empty(count, dtype=np.int64)
-            nodes = np.empty((count, 3), dtype=np.float64)
-            for k in range(count):
-                parts = lines[i + 2 + k].split()
-                node_ids[k] = int(parts[0])
-                nodes[k] = [float(parts[1]), float(parts[2]), float(parts[3])]
+            # vectorized parse (1M+-node meshes; the per-line loop costs
+            # ~30 s there): one big split + reshape
+            blob = " ".join(lines[i + 2 : i + 2 + count])
+            arr = np.array(blob.split(), dtype=np.float64).reshape(count, 4)
+            node_ids = arr[:, 0].astype(np.int64)
+            nodes = arr[:, 1:4]
             i += 2 + count + 1
         elif line == "$Elements":
             count = int(lines[i + 1])
-            for k in range(count):
-                parts = lines[i + 2 + k].split()
-                etype = int(parts[1])
-                ntags = int(parts[2])
-                if etype not in _GMSH_TYPES:
-                    continue
-                ctype, nv = _GMSH_TYPES[etype]
-                phys = int(parts[3]) if ntags >= 1 else 0
-                verts = [int(v) for v in parts[3 + ntags : 3 + ntags + nv]]
-                elems_by_type.setdefault(ctype, []).append(verts)
-                tags_by_type.setdefault(ctype, []).append(phys)
+            data = lines[i + 2 : i + 2 + count]
+            # vectorized parse: group lines by token count, then one C
+            # split+reshape per group (mixed element types handled by a
+            # per-type sub-select; ntags is uniform per type in practice)
+            from collections import defaultdict
+
+            widths = defaultdict(list)
+            for s in data:
+                widths[len(s.split())].append(s)
+            for w1, grp in widths.items():
+                arr = np.array(" ".join(grp).split(), dtype=np.int64)
+                arr = arr.reshape(len(grp), w1)
+                for et in np.unique(arr[:, 1]):
+                    if int(et) not in _GMSH_TYPES:
+                        continue
+                    rows = arr[arr[:, 1] == et]
+                    ctype, nv = _GMSH_TYPES[int(et)]
+                    ntags = int(rows[0, 2])
+                    phys = (
+                        rows[:, 3] if ntags >= 1
+                        else np.zeros(len(rows), dtype=np.int64)
+                    )
+                    verts = rows[:, 3 + ntags : 3 + ntags + nv]
+                    elems_by_type.setdefault(ctype, []).extend(
+                        verts.tolist()
+                    )
+                    tags_by_type.setdefault(ctype, []).extend(phys.tolist())
             i += 2 + count + 1
         else:
             i += 1
@@ -132,3 +148,74 @@ def read_gmsh(path: str) -> Mesh:
             values=np.asarray(tags_by_type[ctype], dtype=INDEX_DTYPE),
         )
     return mesh
+
+
+_CELL_TO_GMSH = {
+    CellType.interval: 1,
+    CellType.triangle: 2,
+    CellType.quad: 3,
+    CellType.tetra: 4,
+    CellType.hexahedron: 5,
+}
+
+
+def write_gmsh(path: str, mesh: Mesh) -> None:
+    """Write a gmsh 2.2 ASCII file (cells + cell tags + tagged entities).
+
+    The inverse of :func:`read_gmsh` — lets generated meshes (e.g. the
+    synthetic polycrystal, tpufem.cases.polycrystal) exercise the same
+    ingest path the reference's Neper meshes take."""
+    x = np.asarray(mesh.x, dtype=np.float64)
+    if x.shape[1] < 3:
+        x = np.concatenate(
+            [x, np.zeros((len(x), 3 - x.shape[1]))], axis=1
+        )
+    out = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat", "$Nodes", str(len(x))]
+    ids = np.arange(1, len(x) + 1)
+    node_block = np.concatenate([ids[:, None].astype(np.float64), x], axis=1)
+    out.append(
+        "\n".join(
+            f"{int(r[0])} {r[1]:.16g} {r[2]:.16g} {r[3]:.16g}"
+            for r in node_block
+        )
+    )
+    out += ["$EndNodes", "$Elements"]
+
+    blocks = []
+    eid = 1
+    # lower-dim tagged entities first (gmsh convention)
+    for dim in sorted(mesh.entity_tags):
+        tags = mesh.entity_tags[dim]
+        et = {1: 1, 2: 2}[dim] if dim <= 2 else None
+        for ent, val in zip(np.asarray(tags.entities), np.asarray(tags.values)):
+            verts = " ".join(str(v + 1) for v in ent)
+            blocks.append(f"{eid} {et} 2 {val} {val} {verts}")
+            eid += 1
+    gtype = _CELL_TO_GMSH[mesh.cell_type]
+    cells = np.asarray(mesh.cells)
+    if mesh.cell_type == CellType.hexahedron:
+        cells = cells[:, _HEX_PERM]
+    elif mesh.cell_type == CellType.quad:
+        cells = cells[:, _QUAD_PERM]
+    ct = (
+        np.asarray(mesh.cell_tags)
+        if mesh.cell_tags is not None
+        else np.zeros(len(cells), dtype=np.int64)
+    )
+    hdr = np.stack(
+        [
+            np.arange(eid, eid + len(cells)),
+            np.full(len(cells), gtype),
+            np.full(len(cells), 2),
+            ct,
+            ct,
+        ],
+        axis=1,
+    )
+    body = np.concatenate([hdr, cells + 1], axis=1)
+    blocks.append("\n".join(" ".join(map(str, r)) for r in body))
+    out.append(str(eid - 1 + len(cells)))
+    out.append("\n".join(blocks))
+    out += ["$EndElements", ""]
+    with open(path, "w") as fh:
+        fh.write("\n".join(out))
