@@ -138,3 +138,41 @@ def test_grid_solver_mg_matches_jacobi():
     assert res_m.newton_iters == res_j.newton_iters
     assert res_m.total_cg_iters * 10 < res_j.total_cg_iters
     assert float(jnp.max(jnp.abs(res_m.u - res_j.u))) < 1e-12
+
+
+def test_mixed_precision_reaches_f64_accuracy():
+    """VERDICT round-2 item 5 (the 1e-10 gate): f64 Newton residuals +
+    f32 MG-CG inner solves converge to the all-f64 solution — Newton is
+    the defect-correction loop, so the f32 step error washes out.
+    Reference accuracy context: all-double PETSc, CG rtol 1e-12
+    (doc.tex:2252-2257); BASELINE gate 1e-10 on displacements."""
+    import jax.numpy as jnp
+
+    n = 64
+    grid = _grid(n, law="damage")
+    yy = np.linspace(0, 1, n + 1)[:, None]
+    d = jnp.asarray(
+        np.broadcast_to(
+            np.where((yy > 0.45) & (yy < 0.55), 0.8, 0.0), (n + 1, n + 1)
+        ) * 1.0
+    )
+    free, bcv = _bc(n)
+    u0 = jnp.zeros((2, n + 1, n + 1))
+    ref = make_grid_solver(
+        grid,
+        SolverConfig(cg_rtol=1e-13, newton_rtol=1e-12, newton_atol=1e-13,
+                     preconditioner="mg", newton_maxit=20,
+                     error_on_nonconvergence=False),
+        cg_chunk=10,
+    )(u0, {"d": d}, free, bcv)
+    mix = make_grid_solver(
+        grid,
+        SolverConfig(cg_rtol=1e-6, newton_rtol=1e-12, newton_atol=1e-13,
+                     preconditioner="mg", newton_maxit=40,
+                     error_on_nonconvergence=False),
+        cg_chunk=10,
+        inner_dtype=jnp.float32,
+    )(u0, {"d": d}, free, bcv)
+    du = float(jnp.max(jnp.abs(mix.u - ref.u)))
+    un = float(jnp.max(jnp.abs(ref.u)))
+    assert du / un < 1e-10, du / un

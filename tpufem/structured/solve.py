@@ -32,6 +32,7 @@ def make_grid_solver(
     cfg: Optional[SolverConfig] = None,
     *,
     cg_chunk: int = 200,
+    inner_dtype=None,
 ):
     """Returns solve(u0, fields, free_mask, bc_values, load=None).
 
@@ -41,6 +42,15 @@ def make_grid_solver(
     ``cfg.preconditioner='mg'`` uses the geometric-multigrid V-cycle
     (structured.mg2d) — the lattice BoomerAMG equivalent; anything else
     falls back to point Jacobi.
+
+    ``inner_dtype`` (e.g. jnp.float32): mixed-precision mode — the
+    Newton residual, the iterate and the update stay in u0's dtype
+    (f64), while each CG solve runs in ``inner_dtype`` on a normalized
+    right-hand side. Newton itself is the defect-correction loop, so the
+    iterate converges to the full-f64 root at the cost of a few extra
+    (cheap, f32) Newton steps — the reference's all-f64 accuracy
+    (CG rtol 1e-12, doc.tex:2252-2257) at TPU-f32 speed. Set
+    ``cfg.cg_rtol`` to what the inner dtype can reach (~1e-6 for f32).
     """
     cfg = cfg or SolverConfig()
     use_mg = cfg.preconditioner == "mg"
@@ -113,27 +123,41 @@ def make_grid_solver(
             if bnorm < max(cfg.newton_rtol * r0, cfg.newton_atol):
                 it -= 1
                 break
+            if inner_dtype is not None:
+                scale = bnorm if bnorm > 0 else 1.0
+                b_in = (b / scale).astype(inner_dtype)
+                u_in = u.astype(inner_dtype)
+                fields_in = {
+                    k_: v.astype(inner_dtype) for k_, v in fields.items()
+                }
+                free_in = free.astype(inner_dtype)
+            else:
+                scale = 1.0
+                b_in, u_in, fields_in, free_in = b, u, fields, free
             if use_mg:
                 from tpufem.structured import mg2d
 
-                grids, pcdata = mg2d.build_mg2d(grid, u, fields, free)
+                grids, pcdata = mg2d.build_mg2d(
+                    grid, u_in, fields_in, free_in
+                )
                 _mg_grids["g"] = grids
             else:
-                diag = diag_fn(u, fields, free)
+                diag = diag_fn(u_in, fields_in, free_in)
                 pcdata = jnp.where(diag != 0, 1.0 / diag, 1.0)
-            z0 = apply_pc_jit(pcdata, b) if use_mg else pcdata * b
-            state = (jnp.zeros_like(b), b, z0, z0, dot(b, z0))
-            tol = max(cfg.cg_rtol * bnorm, cfg.cg_atol)
+            z0 = apply_pc_jit(pcdata, b_in) if use_mg else pcdata * b_in
+            state = (jnp.zeros_like(b_in), b_in, z0, z0, dot(b_in, z0))
+            tol = max(cfg.cg_rtol * float(jnp.sqrt(dot(b_in, b_in))),
+                      cfg.cg_atol)
             k = 0
             while k < cfg.cg_maxit:
                 nsteps = min(cg_chunk, cfg.cg_maxit - k)
                 state, rr = cg_chunk_fn(
-                    nsteps, u, fields, free, pcdata, state
+                    nsteps, u_in, fields_in, free_in, pcdata, state
                 )
                 k += nsteps
                 if float(rr) < tol:
                     break
-            u = u + state[0] * free
+            u = u + (state[0].astype(u.dtype) * scale) * free
             total_cg += k
             if cfg.verbose:
                 print(f"Newton {it}: |r| = {bnorm:.6e} (cg {k})")
