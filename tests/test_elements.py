@@ -142,3 +142,70 @@ def test_q2_quad_nodal_and_quadratic_exact():
         dp = np.zeros_like(pts); dp[:, d] = h
         fd = (el.tabulate(pts + dp) - el.tabulate(pts - dp)) / (2 * h)
         assert np.allclose(G[:, :, d], fd, atol=1e-8)
+
+
+def test_q2_hex_basis_and_dofmap():
+    """27-node triquadratic hex: partition of unity, exact quadratic
+    reproduction, and conforming dofmap counts (VERDICT round-2 item 8;
+    the reference's quadratic H1 collection, MFEM/...cc:1104-1113)."""
+    from tpufem.mesh.generate import box
+    from tpufem.mesh.topology import build_entities
+    from tpufem.spaces import FunctionSpace
+
+    el = element(CellType.hexahedron, 2)
+    assert el.ndof == 27
+    pts = np.random.default_rng(0).uniform(0, 1, (40, 3))
+    N = el.tabulate(pts)
+    assert np.abs(N.sum(axis=1) - 1).max() < 1e-13
+    G = el.tabulate_grad(pts)
+    assert np.abs(G.sum(axis=1)).max() < 1e-12
+    # finite-difference check of the gradients
+    h = 1e-6
+    for d in range(3):
+        pp = pts.copy()
+        pp[:, d] += h
+        fd = (el.tabulate(pp) - N) / h
+        assert np.abs(fd - G[:, :, d]).max() < 1e-5
+
+    mesh = box(2, 3, 2, cell_type=CellType.hexahedron)
+    V = FunctionSpace.create(mesh, 2)
+    edges, _ = build_entities(mesh, 1)
+    faces, _ = build_entities(mesh, 2)
+    assert V.n_scalar_dofs == (
+        mesh.n_nodes + len(edges) + len(faces) + mesh.n_cells
+    )
+    assert V.dofmap.shape == (mesh.n_cells, 27)
+    # every dof used at least once, max dof == count-1
+    assert V.dofmap.max() == V.n_scalar_dofs - 1
+    assert len(np.unique(V.dofmap)) == V.n_scalar_dofs
+
+
+def test_q2_hex_patch_test():
+    """A quadratic field is reproduced exactly through the full assembly
+    stack (interpolate -> energy of Laplace functional is exact)."""
+    import jax.numpy as jnp
+
+    from tpufem.assemble import Assembler
+    from tpufem.forms import EnergyFunctional
+    from tpufem.forms.form import Term
+    from tpufem.mesh.generate import box
+    from tpufem.spaces import FunctionSpace
+
+    mesh = box(2, 2, 2, cell_type=CellType.hexahedron)
+    V = FunctionSpace.create(mesh, 2)
+
+    def poisson(qp):
+        return 0.5 * jnp.sum(qp.grad_u * qp.grad_u)
+
+    asm = Assembler(EnergyFunctional(V, [Term(poisson, 4)]), [])
+    x = V.dof_coords
+    f = x[:, 0] ** 2 + 2 * x[:, 1] ** 2 - x[:, 2] ** 2 + x[:, 0] * x[:, 1]
+    # grad f = (2x + y, 4y + x, -2z); int |grad f|^2 over unit cube:
+    # E[(2x+y)^2] + E[(4y+x)^2] + E[4z^2] with x,y,z ~ U(0,1) integrals
+    # = (4/3 + 2*1/2*... ) compute exactly:
+    # int (2x+y)^2 = int 4x^2+4xy+y^2 = 4/3 + 1 + 1/3 = 8/3
+    # int (4y+x)^2 = 16/3 + 2 + 1/3 = 23/3
+    # int (2z)^2 = 4/3
+    exact = 0.5 * (8 / 3 + 23 / 3 + 4 / 3)
+    e = float(asm.energy(jnp.asarray(f), {}))
+    assert abs(e - exact) < 1e-12 * exact

@@ -59,3 +59,56 @@ def test_checkpoint_roundtrip(tmp_path):
     back = load_checkpoint(p)
     np.testing.assert_array_equal(back["u"], state["u"])
     assert int(back["iteration"]) == 7
+
+
+def test_newton_checkpoint_restart(tmp_path):
+    """Interrupt a chunked Newton solve mid-run, resume from the
+    checkpoint, and land on the uninterrupted solution (VERDICT round-2
+    item 8 / SURVEY §5.4)."""
+    import jax.numpy as jnp
+
+    from tpufem.assemble import Assembler
+    from tpufem.config import SolverConfig
+    from tpufem.forms import EnergyFunctional, asym_damage_psi
+    from tpufem.forms.form import Coefficient, Term
+    from tpufem.mesh import unit_square
+    from tpufem.nls.newton_chunked import make_chunked_solver
+    from tpufem.spaces import DirichletBC, FunctionSpace
+    from tpufem.spaces.bc import locate_dofs_geometrical
+
+    mesh = unit_square(12)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = np.zeros(DS.n_dofs)
+    d[(DS.dof_coords[:, 1] > 0.4) & (DS.dof_coords[:, 1] < 0.6)] = 0.8
+    t = Term(
+        lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), 1.0e6, 0.3), 1
+    )
+    F = EnergyFunctional(V, [t], [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    right = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0] - 1) < 1e-12)
+    asm = Assembler(F, [DirichletBC(V, left, [0.0, 0.0]),
+                        DirichletBC(V, right, [0.01, 0.0])])
+    coeffs = {"d": jnp.asarray(d)}
+    u0 = jnp.zeros(V.n_dofs)
+    cfg = SolverConfig(cg_rtol=1e-12, error_on_nonconvergence=False)
+
+    ref = make_chunked_solver(asm, cfg)(u0, coeffs)
+    assert ref.converged and ref.newton_iters >= 2
+
+    ck = str(tmp_path / "newton.npz")
+    # phase 1: stop after 1 Newton iteration (checkpoint written)
+    cfg1 = SolverConfig(cg_rtol=1e-12, newton_maxit=1,
+                        error_on_nonconvergence=False)
+    make_chunked_solver(asm, cfg1, checkpoint_path=ck)(u0, coeffs)
+    import os
+
+    assert os.path.exists(ck)
+    # phase 2: resume to convergence
+    res = make_chunked_solver(asm, cfg, checkpoint_path=ck)(u0, coeffs)
+    assert res.converged
+    # resumed run continues, not restarts
+    assert res.history[0][0] == 2
+    np.testing.assert_allclose(
+        np.asarray(res.u), np.asarray(ref.u), atol=1e-12
+    )

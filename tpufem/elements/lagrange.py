@@ -241,6 +241,77 @@ def _q2_quad() -> Element:
     )
 
 
+def _q2_hex() -> Element:
+    """27-node triquadratic hexahedron: 8 vertices + 12 edge midpoints +
+    6 face centers + 1 body center (MFEM/...cc:1104-1113's quadratic
+    H1 collection analog in 3D). Edge order follows CELL_EDGES[hex],
+    face order CELL_INFO[hex]['facets']."""
+
+    def l1d(x):
+        return (
+            2.0 * (x - 0.5) * (x - 1.0),
+            2.0 * x * (x - 0.5),
+            4.0 * x * (1.0 - x),
+        )
+
+    def dl1d(x):
+        return (4.0 * x - 3.0, 4.0 * x - 1.0, 4.0 - 8.0 * x)
+
+    m = 2  # midpoint index into the 1D triplet
+    layout = [
+        # vertices, tensor order (x fastest, then y, then z)
+        (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+        (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+        # edges, CELL_EDGES[hex] order:
+        # (0,1) (2,3) (4,5) (6,7)  (0,2) (1,3) (4,6) (5,7)
+        # (0,4) (1,5) (2,6) (3,7)
+        (m, 0, 0), (m, 1, 0), (m, 0, 1), (m, 1, 1),
+        (0, m, 0), (1, m, 0), (0, m, 1), (1, m, 1),
+        (0, 0, m), (1, 0, m), (0, 1, m), (1, 1, m),
+        # faces, CELL_INFO[hex]['facets'] order: z=0, z=1, y=0, y=1,
+        # x=0, x=1
+        (m, m, 0), (m, m, 1), (m, 0, m), (m, 1, m), (0, m, m), (1, m, m),
+        # body center
+        (m, m, m),
+    ]
+
+    def tab(p):
+        lx = np.stack(l1d(p[:, 0]), axis=1)
+        ly = np.stack(l1d(p[:, 1]), axis=1)
+        lz = np.stack(l1d(p[:, 2]), axis=1)
+        return np.stack(
+            [lx[:, i] * ly[:, j] * lz[:, k] for i, j, k in layout], axis=1
+        )
+
+    def tab_grad(p):
+        lx = np.stack(l1d(p[:, 0]), axis=1)
+        ly = np.stack(l1d(p[:, 1]), axis=1)
+        lz = np.stack(l1d(p[:, 2]), axis=1)
+        dx = np.stack(dl1d(p[:, 0]), axis=1)
+        dy = np.stack(dl1d(p[:, 1]), axis=1)
+        dz = np.stack(dl1d(p[:, 2]), axis=1)
+        g = np.zeros((len(p), 27, 3))
+        for n, (i, j, k) in enumerate(layout):
+            g[:, n, 0] = dx[:, i] * ly[:, j] * lz[:, k]
+            g[:, n, 1] = lx[:, i] * dy[:, j] * lz[:, k]
+            g[:, n, 2] = lx[:, i] * ly[:, j] * dz[:, k]
+        return g
+
+    return Element(
+        cell_type=CellType.hexahedron,
+        degree=2,
+        ndof=27,
+        entity_dofs=tuple(
+            [(0, i) for i in range(8)]
+            + [(1, i) for i in range(12)]
+            + [(2, i) for i in range(6)]
+            + [(3, 0)]
+        ),
+        _tab=tab,
+        _tab_grad=tab_grad,
+    )
+
+
 @lru_cache(maxsize=None)
 def element(cell_type: str, degree: int) -> Element:
     """Factory: Lagrange element of given degree on cell_type."""
@@ -256,6 +327,8 @@ def element(cell_type: str, degree: int) -> Element:
             return _q1_tensor(cell_type)
         if degree == 2 and cell_type == CellType.quad:
             return _q2_quad()
+        if degree == 2 and cell_type == CellType.hexahedron:
+            return _q2_hex()
     if degree == 0:
         # DG0: single dof at centroid (used for strain/stress output,
         # FEniCSx/...cc:918-923 creates a discontinuous degree-0 space)

@@ -39,11 +39,17 @@ def make_chunked_solver(
     cfg: Optional[SolverConfig] = None,
     *,
     cg_chunk: int = 100,
+    checkpoint_path: Optional[str] = None,
 ):
     """Returns solve(u0, coeffs) → ChunkedResult.
 
     Each device execution is at most ``cg_chunk`` CG iterations (or one
     assembly); convergence scalars are materialized between chunks.
+
+    ``checkpoint_path``: save (u, newton state) after every Newton
+    iteration and resume from the file if it exists — the
+    checkpoint/restart capability the reference lacks (SURVEY.md §5.4;
+    its runs are always start-to-finish).
     """
     cfg = cfg or SolverConfig()
     asm.pattern
@@ -121,13 +127,24 @@ def make_chunked_solver(
         return z
 
     def solve(u0, coeffs) -> ChunkedResult:
+        import os
+
         u = asm.set_bc(u0)
         history = []
         r0 = None
         total_cg = 0
         converged = False
         it = 0
-        for it in range(1, cfg.newton_maxit + 1):
+        it_start = 1
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            from tpufem.io.checkpoint import load_checkpoint
+
+            ck = load_checkpoint(checkpoint_path)
+            u = jnp.asarray(ck["u"])
+            it_start = int(ck["newton_it"]) + 1
+            r0 = float(ck["r0"]) if np.isfinite(ck["r0"]) else None
+            total_cg = int(ck["total_cg"])
+        for it in range(it_start, cfg.newton_maxit + 1):
             b, bnorm = rhs(asm, u, coeffs)
             bnorm = float(bnorm)
             if r0 is None and (cfg.convergence == "r0" or it >= 2):
@@ -174,6 +191,15 @@ def make_chunked_solver(
             u = u + state[0] * asm.free_mask(u.dtype)
             total_cg += k
             history.append((it, bnorm, k))
+            if checkpoint_path is not None:
+                from tpufem.io.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path,
+                    dict(u=np.asarray(u), newton_it=it,
+                         r0=r0 if r0 is not None else np.nan,
+                         total_cg=total_cg),
+                )
             if cfg.verbose:
                 print(
                     f"Newton iteration {it}: |r| = {bnorm:.6e} "

@@ -71,6 +71,16 @@ def _build_dofmap(mesh: Mesh, el: Element):
         mid = 0.5 * (mesh.x[edges[:, 0]] + mesh.x[edges[:, 1]])
         coords = [mesh.x, mid]
         ndofs = n_vertex + edges.shape[0]
+        # face dofs (3D tensor cells, e.g. Q2 hex face centers); facet
+        # block order matches CELL_INFO facets via build_entities
+        n_face_dofs = sum(
+            1 for d, _ in el.entity_dofs if d == 2 and mesh.dim == 3
+        )
+        if n_face_dofs:
+            faces, c2f = build_entities(mesh, 2)
+            blocks.append((ndofs + c2f).astype(INDEX_DTYPE))
+            coords.append(mesh.x[faces].mean(axis=1))
+            ndofs += faces.shape[0]
         # interior (cell) dofs, e.g. Q2's center node
         n_cell_dofs = sum(1 for d, _ in el.entity_dofs if d == mesh.dim)
         if n_cell_dofs:
