@@ -88,17 +88,92 @@ def main():
     print(f"assembly pass: {dt*1e3:.3f} ms -> {mdof_s:.1f} MDoF/s",
           file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "assembly_mdof_s",
-                "value": round(mdof_s, 2),
-                "unit": "MDoF/s",
-                "vs_baseline": round(mdof_s / REFERENCE_MDOF_S, 2),
-            }
-        ),
-        flush=True,
+    # second number: the same residual assembly on an UNSTRUCTURED
+    # jittered-Delaunay mesh through the lane engine (the reference's
+    # actual workload shape; VERDICT round-2 item 3). Reported as an
+    # extra key; the headline metric stays the lattice rate for
+    # round-over-round comparability.
+    unstructured_mdof_s = None
+    try:
+        unstructured_mdof_s = _bench_unstructured()
+    except Exception as e:  # keep the headline alive no matter what
+        print(f"unstructured bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    out = {
+        "metric": "assembly_mdof_s",
+        "value": round(mdof_s, 2),
+        "unit": "MDoF/s",
+        "vs_baseline": round(mdof_s / REFERENCE_MDOF_S, 2),
+    }
+    if unstructured_mdof_s is not None:
+        out["unstructured_mdof_s"] = round(unstructured_mdof_s, 2)
+        out["unstructured_vs_baseline"] = round(
+            unstructured_mdof_s / REFERENCE_MDOF_S, 2
+        )
+    print(json.dumps(out), flush=True)
+
+
+def _bench_unstructured(n: int = 724):
+    """Lane-engine residual assembly rate on a ~1.05M-DoF unstructured
+    triangulation of the asym elasto-damage physics (MDoF/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufem.cases.polycrystal import generate_polycrystal
+    from tpufem.forms import EnergyFunctional, asym_damage_psi
+    from tpufem.forms.form import Coefficient, Term
+    from tpufem.lane import LaneEngine
+    from tpufem.spaces import DirichletBC, FunctionSpace
+    from tpufem.spaces.bc import locate_dofs_geometrical
+
+    t0 = time.perf_counter()
+    mesh = generate_polycrystal(n, n_grains=200)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    ndofs = V.n_dofs
+    d = np.zeros(DS.n_dofs, np.float32)
+    d[np.abs(DS.dof_coords[:, 1] - 0.5) < 0.03] = 0.8
+    term = Term(
+        lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), 1.0e6, 0.3), 1
     )
+    F = EnergyFunctional(V, [term], [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    eng = LaneEngine(F, [DirichletBC(V, left, [0.0, 0.0])])
+    cc = jax.tree.map(
+        lambda a: a.astype(jnp.float32),
+        eng.prepare_coeffs({"d": jnp.asarray(d)}),
+    )
+    eng32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a,
+        eng,
+    )
+    u0 = eng32.bc_lane.astype(jnp.float32)
+    print(f"unstructured setup: {ndofs} dofs, "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def chain(e, c, x, iters):
+        def body(_, xx):
+            return xx * 0.9999 + e.residual(xx, c) * 1e-9
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    x = chain(eng32, cc, u0, 2)
+    float(np.asarray(x).ravel()[0])
+
+    def run(r):
+        t0 = time.perf_counter()
+        xx = chain(eng32, cc, u0, r)
+        float(np.asarray(xx).ravel()[0])
+        return time.perf_counter() - t0
+
+    ta, tb = run(64), run(576)
+    dt = max(tb - ta, 1e-9) / 512
+    rate = ndofs / dt / 1e6
+    print(f"unstructured residual: {dt*1e3:.3f} ms -> {rate:.1f} MDoF/s",
+          file=sys.stderr)
+    return rate
 
 
 if __name__ == "__main__":

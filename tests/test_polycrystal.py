@@ -40,7 +40,8 @@ def test_gmsh_roundtrip_preserves_mesh(tmp_path):
 def test_polycrystal_e2e_small():
     res = polycrystal.run(
         20, n_grains=12, gmsh_roundtrip=True, interpret=True,
-        solver=SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False),
+        solver=SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False,
+                            preconditioner="jacobi"),
         smooth_iters=4,
     )
     assert res.stats["converged"]
@@ -67,7 +68,9 @@ def test_polycrystal_matches_structured_continuum():
     n = 32
     res = polycrystal.run(
         n, n_grains=8, use_ecst=True, interpret=True, smooth_iters=0,
-        solver=SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False),
+        n_damage_chains=0,  # undamaged: exactly comparable continuum
+        solver=SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False,
+                            preconditioner="jacobi"),
     )
 
     E, NU = 1.0e6, 0.3
@@ -78,12 +81,7 @@ def test_polycrystal_matches_structured_continuum():
         ),
         field_kinds={"d": "vertex"},
     )
-    yy = np.linspace(0, 1, n + 1)[:, None]
-    d = jnp.asarray(
-        np.broadcast_to(
-            ((yy > 0.48) & (yy < 0.52)) * 1.0, (n + 1, n + 1)
-        ).copy()
-    )
+    d = jnp.zeros((n + 1, n + 1))
     free = np.ones((2, n + 1, n + 1))
     free[:, :, 0] = 0.0
     free[:, :, -1] = 0.0
@@ -94,6 +92,6 @@ def test_polycrystal_matches_structured_continuum():
     )(jnp.zeros((2, n + 1, n + 1)), {"d": d}, jnp.asarray(free * 1.0),
       jnp.asarray(bcv * 1.0))
     e_struct = float(grid.energy(gres.u, {"d": d}))
-    assert abs(res.energy - e_struct) < 0.05 * abs(e_struct), (
+    assert abs(res.energy - e_struct) < 0.02 * abs(e_struct), (
         res.energy, e_struct,
     )

@@ -71,6 +71,39 @@ def generate_polycrystal(
     )
 
 
+def damage_seed_nodes(mesh: Mesh, *, n_chains: int = 30,
+                      band: float = 0.15, seed: int = 333) -> np.ndarray:
+    """Nodes of ~n_chains grain-boundary edge chains near y=0.5 — the
+    polycrystal analog of the reference's 30 damaged edge tags
+    (FEniCSx/...cc:359-361): d=1 seeds along grain boundaries, NOT a
+    severing band (a full band disconnects the tension path and stalls
+    Newton)."""
+    from tpufem.mesh.topology import build_entities
+
+    facets, c2f = build_entities(mesh, 1)
+    nf = len(facets)
+    tags = np.asarray(mesh.cell_tags, dtype=np.int64)
+    tmin = np.full(nf, np.iinfo(np.int64).max)
+    tmax = np.full(nf, -1, dtype=np.int64)
+    nlf = c2f.shape[1]
+    rep = np.repeat(tags, nlf)
+    f = c2f.ravel().astype(np.int64)
+    np.minimum.at(tmin, f, rep)
+    np.maximum.at(tmax, f, rep)
+    gb = tmax != tmin  # grain-boundary facets
+    ymid = mesh.x[facets].mean(axis=1)[:, 1]
+    cand = gb & (np.abs(ymid - 0.5) < band)
+    pair = tmin * 100000 + tmax
+    pairs = np.unique(pair[cand])
+    if len(pairs) == 0:
+        return np.zeros(0, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    chosen = rng.choice(pairs, size=min(n_chains, len(pairs)),
+                        replace=False)
+    sel = cand & np.isin(pair, chosen)
+    return np.unique(facets[sel].ravel())
+
+
 @dataclasses.dataclass
 class PolycrystalResult:
     mesh: Mesh
@@ -90,6 +123,7 @@ def run(
     wg_own: int = 16,
     gmsh_roundtrip: bool = False,
     smooth_iters: int = 8,
+    n_damage_chains: int = 30,
     interpret: bool = False,
     mesh: Optional[Mesh] = None,
 ) -> PolycrystalResult:
@@ -142,11 +176,13 @@ def run(
     E_cell = E_range[tags % 200]
     timings["4.1 material constant"] = time.perf_counter() - t0
 
-    # damage: band of nodes, smoothed by the reference's loop
+    # damage: grain-boundary edge chains seeded d=1, smoothed by the
+    # reference's loop (mirrors the 30-tag damaged-edge list,
+    # FEniCSx/...cc:359-361)
     t0 = time.perf_counter()
     d0 = np.zeros(DS.n_dofs)
-    yc = DS.dof_coords[:, 1]
-    d0[(yc > 0.48) & (yc < 0.52)] = 1.0
+    if n_damage_chains > 0:
+        d0[damage_seed_nodes(mesh, n_chains=n_damage_chains)] = 1.0
     import jax.numpy as jnp
 
     d = np.asarray(
@@ -182,10 +218,17 @@ def run(
 
     cfg = solver or SolverConfig(
         cg_rtol=1e-8, newton_rtol=1e-6, cg_maxit=20000,
-        error_on_nonconvergence=False,
+        preconditioner="twolevel", error_on_nonconvergence=False,
     )
     t0 = time.perf_counter()
-    solve = eng.make_solver(cfg, cg_chunk=200)
+    use_tl = cfg.preconditioner == "twolevel"
+    solve = eng.make_solver(
+        cfg,
+        cg_chunk=20 if use_tl else 200,
+        fine_coeffs=(
+            {"d": d, "E": E_cell} if use_tl else None
+        ),
+    )
     u_lane, stats = solve(jnp.zeros_like(eng.bc_lane), cc)
     timings["7.3 nonlinear resolution"] = time.perf_counter() - t0
 

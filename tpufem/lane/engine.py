@@ -336,10 +336,21 @@ class LaneEngine:
     # -- solver -------------------------------------------------------------------
 
     def make_solver(self, cfg: Optional[SolverConfig] = None, *,
-                    cg_chunk: int = 100):
-        """Chunked Newton-Krylov on the lane layout (Jacobi PC)."""
+                    cg_chunk: int = 100, fine_coeffs=None,
+                    twolevel_nc=None):
+        """Chunked Newton-Krylov on the lane layout.
+
+        ``cfg.preconditioner``: 'jacobi' (default) or 'twolevel' — the
+        lattice-coarse two-level cycle (lane.twolevel), the unstructured
+        BoomerAMG equivalent (measured ~30x fewer CG iterations).
+        'twolevel' needs ``fine_coeffs`` (flat coefficient vectors, for
+        lattice sampling)."""
         cfg = cfg or SolverConfig()
         eng = self
+        use_tl = cfg.preconditioner == "twolevel"
+        if use_tl and fine_coeffs is None:
+            raise ValueError("twolevel needs fine_coeffs")
+        _tl = {}
 
         @jax.jit
         def rhs(eng, u, coeffs, free):
@@ -354,12 +365,23 @@ class LaneEngine:
             return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
 
         @functools.partial(jax.jit, static_argnums=(0,))
-        def cg_chunk_fn(nsteps, eng, u_lin, coeffs, free, dinv, state):
+        def cg_chunk_fn(nsteps, eng, u_lin, coeffs, free, dinv, tl_data,
+                        state):
             u_cells = eng._gather_cells(u_lin)  # hoisted (frozen during CG)
 
             def A(v):
                 av = eng.tangent_from_cells(u_cells, coeffs, v * free)
                 return av * free + v * (1.0 - free)
+
+            def M(r):
+                if use_tl:
+                    from tpufem.lane import twolevel as tlmod
+
+                    return tlmod.precondition(
+                        eng, _tl["static"], tl_data, u_cells, coeffs,
+                        free, r,
+                    )
+                return dinv * r
 
             def body(_, st):
                 x, r, z, pvec, rz = st
@@ -367,7 +389,7 @@ class LaneEngine:
                 alpha = rz / eng.dot(pvec, Ap)
                 x = x + alpha * pvec
                 r = r - alpha * Ap
-                z = dinv * r
+                z = M(r)
                 rz_new = eng.dot(r, z)
                 pvec = z + (rz_new / rz) * pvec
                 return (x, r, z, pvec, rz_new)
@@ -391,22 +413,58 @@ class LaneEngine:
                     it -= 1
                     break
                 dinv = diag_fn(eng, u, coeff_cells, free)
-                z0 = dinv * b
+                tl_data = None
+                if use_tl:
+                    from tpufem.lane import twolevel as tlmod
+
+                    if "static" not in _tl:
+                        _tl["static"], _tl["data"] = tlmod.build_twolevel(
+                            eng, u, coeff_cells, fine_coeffs,
+                            nc=twolevel_nc,
+                        )
+                    tl_data = _tl["data"]
+                if use_tl:
+                    from tpufem.lane import twolevel as tlmod
+
+                    u_cells0 = eng._gather_cells(u)
+                    z0 = tlmod.precondition(
+                        eng, _tl["static"], tl_data, u_cells0,
+                        coeff_cells, free, b,
+                    )
+                else:
+                    z0 = dinv * b
                 state = (jnp.zeros_like(b), b, z0, z0, eng.dot(b, z0))
                 tol = max(cfg.cg_rtol * bnorm, cfg.cg_atol)
                 k = 0
                 while k < cfg.cg_maxit:
                     nsteps = min(cg_chunk, cfg.cg_maxit - k)
                     state, rr = cg_chunk_fn(
-                        nsteps, eng, u, coeff_cells, free, dinv, state
+                        nsteps, eng, u, coeff_cells, free, dinv, tl_data,
+                        state
                     )
                     k += nsteps
                     if float(rr) < tol:
                         break
-                u = u + state[0] * free
+                # backtracking damping: the asym damage law is only
+                # piecewise-smooth (branch flips on eigenvalue signs),
+                # and full Newton steps can overshoot; halve until the
+                # residual norm does not increase (<=6 halvings)
+                step = state[0] * free
+                alpha = 1.0
+                for _ in range(6):
+                    _, bn_new = rhs(eng, u + alpha * step, coeff_cells,
+                                    free)
+                    if float(bn_new) <= bnorm * (1.0 + 1e-12):
+                        break
+                    alpha *= 0.5
+                u = u + alpha * step
                 total_cg += k
                 if cfg.verbose:
-                    print(f"lane Newton {it}: |r| = {bnorm:.6e} (cg {k})")
+                    print(
+                        f"lane Newton {it}: |r| = {bnorm:.6e} (cg {k}"
+                        + (f", damping {alpha}" if alpha < 1.0 else "")
+                        + ")"
+                    )
             b, bnorm = rhs(eng, u, coeff_cells, free)
             bnorm = float(bnorm)
             converged = bnorm < max(cfg.newton_rtol * (r0 or bnorm or 1.0),

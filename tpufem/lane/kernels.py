@@ -156,3 +156,125 @@ def lane_scatter(src, starts, dest_idx, *, sk: int, k_out: int,
             ],
         ),
     )(starts, dest_idx, src)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wr", "interpret"),
+)
+def lane_gather_weighted(values, starts, idx, wts, *, wr: int,
+                         interpret: bool = False):
+    """Weighted windowed gather-sum:
+      out[t, c, k, j] = sum_v wts[t,v,k,j] * values[c, starts[t]+idx[t,v,k,j], j]
+    (idx = -1 entries skipped). The interpolation/prolongation primitive
+    of the lane two-level preconditioner."""
+    C, R, L = values.shape
+    T, V, K, _ = idx.shape
+
+    def kern(start_ref, idx_ref, w_ref, v_hbm, o_ref, win, sem):
+        t = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            v_hbm.at[:, pl.ds(start_ref[t], wr), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+        ids = idx_ref[0]  # (V, K, L)
+        wv = w_ref[0]
+        w = win[:]
+        for c in range(C):
+            acc = jnp.zeros((K, L), values.dtype)
+            for r in range(wr):
+                m = jnp.zeros((K, L), values.dtype)
+                for v in range(V):
+                    m = m + jnp.where(ids[v] == r, wv[v], 0.0)
+                acc = acc + w[c, r : r + 1, :] * m
+            o_ref[0, c] = acc
+
+    return pl.pallas_call(
+        kern,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((T, C, K, L), values.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, V, K, L), lambda t, s: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, V, K, L), lambda t, s: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, C, K, L), lambda t, s: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((C, wr, L), values.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+    )(starts, idx, wts, values)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sk", "k_out", "n_dest", "interpret"),
+)
+def lane_scatter_weighted(src, starts, dest_idx, wts, *, sk: int,
+                          k_out: int, n_dest: int,
+                          interpret: bool = False):
+    """Weighted multi-destination scatter (the transpose of
+    lane_gather_weighted):
+      out[t,c,kappa,j] += wts[t,d,r,j] * src[c, starts[t]+r, j]
+        for every (d, r) with dest_idx[t,d,r,j] == kappa.
+    dest_idx, wts: (T, n_dest, SK, 128)."""
+    C, S, L = src.shape
+    T, D, SK, _ = dest_idx.shape
+    assert SK == sk and D == n_dest
+
+    def kern(start_ref, didx_ref, w_ref, s_hbm, o_ref, win, sem):
+        t = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            s_hbm.at[:, pl.ds(start_ref[t], sk), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+        dk = didx_ref[0]  # (D, SK, L)
+        wv = w_ref[0]
+        w = win[:]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (k_out, L), 0)
+        for c in range(C):
+            acc = jnp.zeros((k_out, L), src.dtype)
+            for r in range(sk):
+                for d in range(n_dest):
+                    acc = acc + jnp.where(
+                        iota == dk[d, r : r + 1, :],
+                        wv[d, r : r + 1, :] * w[c, r : r + 1, :],
+                        0.0,
+                    )
+            o_ref[0, c] = acc
+
+    return pl.pallas_call(
+        kern,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((T, C, k_out, L), src.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, D, SK, L), lambda t, s: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, SK, L), lambda t, s: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, C, k_out, L), lambda t, s: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((C, sk, L), src.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+    )(starts, dest_idx, wts, src)

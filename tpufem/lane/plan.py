@@ -85,6 +85,11 @@ class LanePlan:
     copy_dst_lanes: np.ndarray = None
     copy_src_rows: np.ndarray = None
     copy_src_lanes: np.ndarray = None
+    # per-lane strip extents [min_x, max_x] (for transfer operators)
+    strip_x: np.ndarray = None  # (128, 2)
+    # node coordinates per slot (slot-indexed convenience views)
+    slot_x: np.ndarray = None  # (R, 128) x or nan at padding
+    slot_y: np.ndarray = None
 
 
 def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
@@ -214,4 +219,18 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     plan.copy_dst_lanes = jc
     plan.copy_src_rows = node_row[un]
     plan.copy_src_lanes = jh
+    # strip extents + slot coordinate views (transfer-operator planning)
+    strip_x = np.zeros((N_LANES, 2))
+    for j in range(N_LANES):
+        xs = x[lane_of == j, 0]
+        strip_x[j] = [xs.min(), xs.max()] if len(xs) else [0.0, 0.0]
+    plan.strip_x = strip_x
+    slot_x = np.full((R, N_LANES), np.nan)
+    slot_y = np.full((R, N_LANES), np.nan)
+    slot_x[node_row, lane_of] = x[:, 0]
+    slot_y[node_row, lane_of] = x[:, 1]
+    slot_x[plan.copy_dst_rows, jc] = x[un, 0]
+    slot_y[plan.copy_dst_rows, jc] = x[un, 1]
+    plan.slot_x = slot_x
+    plan.slot_y = slot_y
     return plan

@@ -1,0 +1,366 @@
+"""Two-level (lattice-coarse) preconditioner for the lane engine.
+
+The unstructured analog of the reference's BoomerAMG role
+(FEniCSx/mechanic2d/asym_elasto_damage_model.cc:720-813) built
+TPU-first: instead of an algebraic hierarchy of sparse operators (whose
+SpMVs would ride the slow XLA gather path), the coarse space is a
+*structured lattice* over the mesh's bounding box. Then
+
+- restriction/prolongation are bilinear-interpolation triples, applied
+  with the weighted lane kernels (windowed per-lane selects — fast), and
+- the coarse problem is rediscretized on the lattice and solved with one
+  geometric-MG V-cycle (structured.mg2d — all static slice stencils),
+- fine-level smoothing is Chebyshev on the matrix-free lane tangent.
+
+The cycle is symmetric (Chebyshev pre/post + exact-adjoint transfers in
+the owned-weighted inner product), so plain CG stays valid. Coarse
+coefficient fields are nearest-neighbor samples of the fine fields —
+a preconditioner-grade approximation, not a discretization claim.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.la.precond import chebyshev_iterate
+from tpufem.lane.kernels import lane_gather_weighted
+from tpufem.lane.plan import N_LANES
+
+
+def _round_up(x, m):
+    return -(-int(x) // m) * m
+
+
+class TwoLevelData(NamedTuple):
+    # transfers
+    S: jnp.ndarray  # (ncx+1, SC*128) one-hot column selector
+    p_starts: jnp.ndarray  # (G,)
+    p_idx: jnp.ndarray  # (G, 4, wg, 128) into the view window
+    p_wts: jnp.ndarray
+    r_starts: jnp.ndarray  # (Gc,)
+    r_idx: jnp.ndarray  # (Gc, VR, Kc, 128) into fine-row windows
+    r_wts: jnp.ndarray
+    # fine smoother
+    inv_d: jnp.ndarray  # (bs, R, 128)
+    lmax: jnp.ndarray  # ()
+    # coarse solve (geometric MG on the lattice)
+    mg_data: object  # mg2d.MGData
+    coarse_free: jnp.ndarray  # (bs, ncy+1, ncx+1)
+
+
+class TwoLevelStatic(NamedTuple):
+    SC: int
+    WRp: int
+    WRr: int
+    Kc: int
+    ncx: int
+    ncy: int
+    Rv: int  # padded view rows = Gc*Kc
+    mg_grids: tuple
+    degree: int
+
+
+def build_twolevel(eng, u_lane, coeff_cells, fine_coeffs, *, nc=None,
+                   degree=2, power_iters=12, mg_coarse_dofs=1500):
+    """Host-side setup.
+
+    ``fine_coeffs``: dict name -> flat fine coefficient vector (for
+    lattice sampling). ``nc``: lattice cells per side (default ~ the
+    mesh's own resolution, sqrt(n_nodes)/2 rounded to even).
+    """
+    from scipy.spatial import cKDTree
+
+    from tpufem.forms.form import QP
+    from tpufem.structured import mg2d
+    from tpufem.structured.grid2d import StructuredGrid2D
+
+    p = eng.plan
+    bs = eng.bs
+    mesh = eng.space.mesh
+    x = mesh.x
+    x0, y0 = x[:, 0].min(), x[:, 1].min()
+    x1, y1 = x[:, 0].max(), x[:, 1].max()
+    if nc is None:
+        nc = max(8, _round_up(int(np.sqrt(p.n_nodes)) // 2, 2))
+    ncx = ncy = int(nc)
+    hx = (x1 - x0) / ncx
+    hy = (y1 - y0) / ncy
+
+    # --- per-lane coarse-column sets + one-hot selector ----------------------
+    lo = p.strip_x[:, 0] - hx
+    hi = p.strip_x[:, 1] + hx
+    ix_min = np.clip(np.floor((lo - x0) / hx).astype(np.int64), 0, ncx)
+    ix_max = np.clip(np.ceil((hi - x0) / hx).astype(np.int64), 0, ncx)
+    SC = int((ix_max - ix_min + 1).max())
+    cols = np.minimum(ix_min[:, None] + np.arange(SC)[None, :], ncx)
+    S = np.zeros((ncx + 1, SC * N_LANES), dtype=np.float64)
+    for l in range(N_LANES):
+        for c in range(SC):
+            S[cols[l, c], c * N_LANES + l] = 1.0
+    # note: clipped duplicate columns create duplicate view copies; the
+    # R plan writes each triple to exactly one slot so sums stay exact.
+
+    # --- interpolation triples per fine slot ----------------------------------
+    sx, sy = p.slot_x, p.slot_y  # (R, 128), nan at padding
+    valid = np.isfinite(sx)
+    fx = np.clip((np.nan_to_num(sx) - x0) / hx, 0, ncx - 1e-12)
+    fy = np.clip((np.nan_to_num(sy) - y0) / hy, 0, ncy - 1e-12)
+    ix = fx.astype(np.int64)
+    iy = fy.astype(np.int64)
+    tx = fx - ix
+    ty = fy - iy
+    lane_grid = np.broadcast_to(np.arange(N_LANES)[None, :], sx.shape)
+    # view row of parent (a, b): (iy+b)*SC + (ix+a - ix_min[lane])
+    parents = []  # (view_row (R,128), weight (R,128)) x4
+    for b in (0, 1):
+        for a in (0, 1):
+            pc = ix + a - ix_min[lane_grid]
+            assert (pc[valid] >= 0).all() and (pc[valid] < SC).all()
+            vrow = (iy + b) * SC + pc
+            wab = (np.where(a == 1, tx, 1 - tx)
+                   * np.where(b == 1, ty, 1 - ty))
+            parents.append((vrow, np.where(valid, wab, 0.0)))
+
+    # --- P plan (fine bins -> view windows) ------------------------------------
+    G, wg = p.G, p.wg
+    vrows = np.stack([pr[0] for pr in parents])  # (4, R, 128)
+    vr_bin = vrows.reshape(4, G, wg, N_LANES)
+    val_bin = np.broadcast_to(valid, vrows.shape[1:]).reshape(G, wg, N_LANES)
+    big = (ncy + 1) * SC + 10
+    masked = np.where(val_bin[None], vr_bin, big)
+    starts_p = masked.min(axis=(0, 2, 3))  # (G,)
+    starts_p = np.where(starts_p >= big, 0, starts_p)
+    masked_hi = np.where(val_bin[None], vr_bin, -1)
+    span = masked_hi.max(axis=(0, 2, 3)) - starts_p + 1
+    WRp = _round_up(max(int(span.max()), 8), 8)
+    Rv_needed = (ncy + 1) * SC
+    Kc = 16
+    Gc = -(-Rv_needed // Kc)
+    Rv = Gc * Kc
+    starts_p = np.minimum(starts_p, max(Rv - WRp, 0)).astype(np.int32)
+    p_idx = np.where(
+        val_bin[None],
+        vr_bin - starts_p[None, :, None, None],
+        -1,
+    ).astype(np.int32)
+    p_idx = np.ascontiguousarray(p_idx.transpose(1, 0, 2, 3))  # (G,4,wg,128)
+    p_wts = np.stack(
+        [pr[1].reshape(G, wg, N_LANES) for pr in parents], axis=1
+    )  # (G, 4, wg, 128)
+
+    # --- R plan (coarse view bins -> fine-row windows) --------------------------
+    # owned fine slots only (each node counted once)
+    owned = p.owned_mask  # (R, 128)
+    fine_rows = np.broadcast_to(
+        np.arange(p.R)[:, None], owned.shape
+    )
+    # triples grouped by (view_row, lane): supporters lists
+    VR_lists = {}
+    tr_v = []
+    tr_lane = []
+    tr_frow = []
+    tr_w = []
+    for (vrow, w) in parents:
+        sel = owned & (w > 0)
+        tr_v.append(vrow[sel])
+        tr_lane.append(lane_grid[sel])
+        tr_frow.append(fine_rows[sel])
+        tr_w.append(w[sel])
+    tr_v = np.concatenate(tr_v)
+    tr_lane = np.concatenate(tr_lane)
+    tr_frow = np.concatenate(tr_frow)
+    tr_w = np.concatenate(tr_w)
+    # rank within (view_row, lane)
+    key = tr_v * N_LANES + tr_lane
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    first = np.searchsorted(key_s, key_s)
+    rank = np.arange(len(key_s)) - first
+    VR = _round_up(max(int(rank.max()) + 1 if len(rank) else 1, 1), 1)
+    v_s, lane_s, frow_s, w_s = (
+        tr_v[order], tr_lane[order], tr_frow[order], tr_w[order]
+    )
+    # fine-row window per coarse bin gc = view rows [gc*Kc, (gc+1)*Kc)
+    gc_of = v_s // Kc
+    r_start = np.full(Gc, p.R, dtype=np.int64)
+    r_end = np.zeros(Gc, dtype=np.int64)
+    np.minimum.at(r_start, gc_of, frow_s)
+    np.maximum.at(r_end, gc_of, frow_s)
+    r_start = np.where(r_start >= p.R, 0, r_start)
+    WRr = _round_up(max(int((r_end - r_start + 1).max()), 8), 8)
+    r_start = np.minimum(r_start, max(p.R - WRr, 0)).astype(np.int32)
+    r_idx = np.full((Gc, VR, Kc, N_LANES), -1, dtype=np.int32)
+    r_wts = np.zeros((Gc, VR, Kc, N_LANES))
+    r_idx[gc_of, rank, v_s % Kc, lane_s] = (
+        frow_s - r_start[gc_of]
+    ).astype(np.int32)
+    r_wts[gc_of, rank, v_s % Kc, lane_s] = w_s
+
+    # --- coarse lattice operator ------------------------------------------------
+    f = eng.functional
+    term = f.terms[0]
+
+    def density(grad_u, cvals):
+        qp = QP(grad_u, None, None, cvals, {})
+        return term.integrand(qp)
+
+    field_kinds = {}
+    coarse_fields = {}
+    gx = x0 + np.arange(ncx + 1) * hx
+    gy = y0 + np.arange(ncy + 1) * hy
+    GX, GY = np.meshgrid(gx, gy, indexing="xy")
+    lat_pts = np.stack([GX.ravel(), GY.ravel()], axis=1)
+    node_tree = cKDTree(mesh.x[:, :2])
+    cell_tree = None
+    for c in f.coefficients:
+        vals = np.asarray(fine_coeffs[c.name])
+        if c.space.element.degree == 0:
+            if cell_tree is None:
+                cent = mesh.x[mesh.cells].mean(axis=1)[:, :2]
+                cell_tree = cKDTree(cent)
+            # centroids of the two lattice triangles per cell
+            cyx = np.stack(
+                [GX[:-1, :-1].ravel(), GY[:-1, :-1].ravel()], axis=1
+            )
+            lo_c = cyx + np.array([2 * hx / 3, hy / 3])
+            up_c = cyx + np.array([hx / 3, 2 * hy / 3])
+            _, ilo = cell_tree.query(lo_c)
+            _, iup = cell_tree.query(up_c)
+            arr = np.stack(
+                [vals[ilo].reshape(ncy, ncx), vals[iup].reshape(ncy, ncx)]
+            )
+            field_kinds[c.name] = "cell"
+            coarse_fields[c.name] = jnp.asarray(arr)
+        else:
+            _, inear = node_tree.query(lat_pts)
+            field_kinds[c.name] = "vertex"
+            coarse_fields[c.name] = jnp.asarray(
+                vals[inear].reshape(ncy + 1, ncx + 1)
+            )
+
+    grid = StructuredGrid2D(
+        nx=ncx, ny=ncy, hx=hx, hy=hy, bs=bs,
+        energy_density=density, field_kinds=field_kinds,
+    )
+    # coarse free mask: a lattice node is constrained when its nearest
+    # fine node is (per component)
+    fine_free_flat = eng.from_lane(np.asarray(eng.free_lane))
+    _, inear = node_tree.query(lat_pts)
+    cf = fine_free_flat.reshape(-1, bs)[inear].T.reshape(
+        bs, ncy + 1, ncx + 1
+    )
+    coarse_free = jnp.asarray((cf > 0.5).astype(np.float64))
+
+    u_c = jnp.zeros((bs, ncy + 1, ncx + 1))
+    mg_grids, mg_data = mg2d.build_mg2d(
+        grid, u_c, coarse_fields, coarse_free,
+        coarse_dofs=mg_coarse_dofs,
+    )
+
+    # --- fine smoother data -------------------------------------------------------
+    free = eng.free_lane.astype(u_lane.dtype)
+    d = eng.diagonal(u_lane, coeff_cells)
+    d = d * free + (1.0 - free)
+    inv_d = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+    u_cells = eng._gather_cells(u_lane)
+
+    @jax.jit
+    def est_lmax(eng_, u_cells_, cc_, free_, inv_d_):
+        v0 = jnp.asarray(
+            np.where(np.arange(d.size) % 2 == 0, 1.0, -1.0).reshape(d.shape)
+        ).astype(d.dtype) * free_
+        v0 = v0 / jnp.sqrt(jnp.vdot(v0, v0))
+
+        def A(v):
+            av = eng_.tangent_from_cells(u_cells_, cc_, v * free_)
+            return av * free_ + v * (1.0 - free_)
+
+        def body(_, v):
+            w = inv_d_ * A(v)
+            return w / jnp.sqrt(jnp.vdot(w, w))
+
+        v = jax.lax.fori_loop(0, power_iters, body, v0)
+        w = inv_d_ * A(v)
+        return jnp.vdot(v, w) / jnp.vdot(v, v)
+
+    lmax = est_lmax(eng, u_cells, coeff_cells, free, inv_d)
+
+    static = TwoLevelStatic(
+        SC=SC, WRp=WRp, WRr=WRr, Kc=Kc, ncx=ncx, ncy=ncy, Rv=Rv,
+        mg_grids=mg_grids, degree=degree,
+    )
+    starts_gc = np.ascontiguousarray(r_start)
+    data = TwoLevelData(
+        S=jnp.asarray(S),
+        p_starts=jnp.asarray(starts_p),
+        p_idx=jnp.asarray(p_idx),
+        p_wts=jnp.asarray(p_wts),
+        r_starts=jnp.asarray(starts_gc),
+        r_idx=jnp.asarray(r_idx),
+        r_wts=jnp.asarray(r_wts),
+        inv_d=inv_d,
+        lmax=lmax,
+        mg_data=mg_data,
+        coarse_free=coarse_free,
+    )
+    return static, data
+
+
+def restrict(eng, static, data, r):
+    """fine (bs, R, 128) -> coarse (bs, ncy+1, ncx+1) = P^T r (owned)."""
+    p = eng.plan
+    dt = r.dtype
+    view = lane_gather_weighted(
+        r, data.r_starts, data.r_idx, data.r_wts.astype(dt),
+        wr=static.WRr, interpret=eng.interpret,
+    )  # (Gc, bs, Kc, 128)
+    view = jnp.transpose(view, (1, 0, 2, 3)).reshape(eng.bs, static.Rv,
+                                                     N_LANES)
+    view = view[:, : (static.ncy + 1) * static.SC, :]
+    v3 = view.reshape(eng.bs, static.ncy + 1, static.SC * N_LANES)
+    with jax.default_matmul_precision("float32"):
+        out = jnp.einsum("bym,xm->byx", v3, data.S.astype(dt))
+    return out
+
+
+def prolong(eng, static, data, c):
+    """coarse (bs, ncy+1, ncx+1) -> consistent fine (bs, R, 128) = P c."""
+    dt = c.dtype
+    with jax.default_matmul_precision("float32"):
+        v3 = jnp.einsum("byx,xm->bym", c, data.S.astype(dt))
+    view = v3.reshape(eng.bs, (static.ncy + 1) * static.SC, N_LANES)
+    pad = static.Rv - view.shape[1]
+    if pad > 0:
+        view = jnp.pad(view, ((0, 0), (0, pad), (0, 0)))
+    out = lane_gather_weighted(
+        view, data.p_starts, data.p_idx, data.p_wts.astype(dt),
+        wr=static.WRp, interpret=eng.interpret,
+    )  # (G, bs, wg, 128)
+    p = eng.plan
+    return jnp.transpose(out, (1, 0, 2, 3)).reshape(eng.bs, p.R, N_LANES)
+
+
+def precondition(eng, static, data, u_cells, coeff_cells, free, r):
+    """Symmetric two-level cycle: Chebyshev fine smoothing + lattice-MG
+    coarse correction. SPD in the owned-weighted inner product."""
+    from tpufem.structured import mg2d
+
+    def A(v):
+        av = eng.tangent_from_cells(u_cells, coeff_cells, v * free)
+        return av * free + v * (1.0 - free)
+
+    kw = dict(degree=static.degree, lmin_ratio=1.0 / 8.0)
+    inv_d = data.inv_d.astype(r.dtype)
+    lmax = data.lmax.astype(r.dtype)
+    x = chebyshev_iterate(A, inv_d, lmax, r, jnp.zeros_like(r), **kw)
+    res = (r - A(x)) * free * eng.owned_w.astype(r.dtype)
+    rc = restrict(eng, static, data, res) * data.coarse_free.astype(r.dtype)
+    cdt = data.mg_data.coarse_inv.dtype
+    xc = mg2d.vcycle(static.mg_grids, data.mg_data, rc.astype(cdt))
+    xc = xc.astype(r.dtype) * data.coarse_free.astype(r.dtype)
+    x = x + prolong(eng, static, data, xc) * free
+    return chebyshev_iterate(A, inv_d, lmax, r, x, **kw)
