@@ -30,6 +30,7 @@ def main():
         n,
         solver=SolverConfig(
             cg_rtol=rtol, newton_rtol=1e-6, cg_maxit=30000,
+            preconditioner="twolevel",
             error_on_nonconvergence=False, verbose=True,
         ),
         gmsh_roundtrip=(n <= 512),  # ASCII IO at 2M cells is host-bound

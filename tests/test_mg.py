@@ -176,3 +176,61 @@ def test_mixed_precision_reaches_f64_accuracy():
     du = float(jnp.max(jnp.abs(mix.u - ref.u)))
     un = float(jnp.max(jnp.abs(ref.u)))
     assert du / un < 1e-10, du / un
+
+
+def test_mg3d_transfers_and_solver():
+    """3D trilinear transfers are exact adjoints and Galerkin-consistent
+    (nested Q1); preconditioner='mg' on a StructuredGrid3D cuts CG
+    iterations with an identical solution."""
+    from tpufem.structured import mg3d
+    from tpufem.structured.grid3d import StructuredGrid3D
+
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.normal(size=(3, 5, 7, 9)))
+    f = jnp.asarray(rng.normal(size=(3, 9, 13, 17)))
+    lhs = float(jnp.vdot(mg3d.prolong(c), f))
+    rhs = float(jnp.vdot(c, mg3d.restrict(f)))
+    assert abs(lhs - rhs) < 1e-12 * abs(lhs)
+
+    def mk(nn, h):
+        return StructuredGrid3D(
+            nx=nn, ny=nn, nz=nn, hx=h, hy=h, hz=h, bs=3,
+            energy_density=lambda g, cf: linear_elastic_psi(
+                0.5 * (g + g.T), E, NU
+            ),
+            field_kinds={},
+        )
+
+    gf, gc = mk(4, 0.25), mk(2, 0.5)
+    sf, sc = (3, 5, 5, 5), (3, 3, 3, 3)
+    nf, ncd = 3 * 125, 3 * 27
+
+    def dense(op, nn, shape):
+        return np.asarray(
+            jax.lax.map(
+                jax.jit(lambda e: op(e.reshape(shape)).ravel()),
+                jnp.eye(nn),
+            )
+        ).T
+
+    Af = dense(lambda v: gf.tangent_action(jnp.zeros(sf), {}, v), nf, sf)
+    Ac = dense(lambda v: gc.tangent_action(jnp.zeros(sc), {}, v), ncd, sc)
+    P = dense(mg3d.prolong, ncd, sc)
+    assert np.abs(P.T @ Af @ P - Ac).max() < 1e-10 * np.abs(Ac).max()
+
+    n = 16
+    grid = mk(n, 1.0 / n)
+    free = np.ones((3, n + 1, n + 1, n + 1))
+    free[:, :, :, 0] = 0.0
+    free[:, :, :, -1] = 0.0
+    bcv = np.zeros((3, n + 1, n + 1, n + 1))
+    bcv[0, :, :, -1] = 0.01
+    u0 = jnp.zeros((3, n + 1, n + 1, n + 1))
+    rj = make_grid_solver(
+        grid, SolverConfig(cg_rtol=1e-10, cg_maxit=20000), cg_chunk=100
+    )(u0, {}, jnp.asarray(free * 1.0), jnp.asarray(bcv * 1.0))
+    rm = make_grid_solver(
+        grid, SolverConfig(cg_rtol=1e-10, preconditioner="mg"), cg_chunk=10
+    )(u0, {}, jnp.asarray(free * 1.0), jnp.asarray(bcv * 1.0))
+    assert rm.total_cg_iters * 4 < rj.total_cg_iters
+    assert float(jnp.max(jnp.abs(rm.u - rj.u))) < 1e-11

@@ -33,6 +33,7 @@ def make_grid_solver(
     *,
     cg_chunk: int = 200,
     inner_dtype=None,
+    mg_matvec_factory=None,
 ):
     """Returns solve(u0, fields, free_mask, bc_values, load=None).
 
@@ -42,6 +43,11 @@ def make_grid_solver(
     ``cfg.preconditioner='mg'`` uses the geometric-multigrid V-cycle
     (structured.mg2d) — the lattice BoomerAMG equivalent; anything else
     falls back to point Jacobi.
+
+    ``mg_matvec_factory``: optional callable grid_level -> raw linear
+    matvec (or None); used for the CG operator at the fine level and the
+    MG smoothers per level — plug the Pallas constant-stencil kernels
+    here for linear constant-coefficient problems.
 
     ``inner_dtype`` (e.g. jnp.float32): mixed-precision mode — the
     Newton residual, the iterate and the update stay in u0's dtype
@@ -70,23 +76,35 @@ def make_grid_solver(
         return d * free + (1.0 - free)
 
     _mg_grids = {}
+    _mg_matvecs = {}
+
+    def _mg_mod():
+        from tpufem.structured import mg2d, mg3d
+        from tpufem.structured.grid3d import StructuredGrid3D
+
+        return mg3d if isinstance(grid, StructuredGrid3D) else mg2d
 
     def apply_pc(pcdata, r):
         if use_mg:
-            from tpufem.structured import mg2d
-
             # the grids tuple is static structure (same lattice every
             # Newton iteration); all per-iteration arrays are in pcdata
-            return mg2d.vcycle(
-                _mg_grids["g"], pcdata, r, degree=cfg.mg_degree
+            return _mg_mod().vcycle(
+                _mg_grids["g"], pcdata, r, degree=cfg.mg_degree,
+                matvecs=_mg_matvecs.get("m"),
             )
         return pcdata * r
 
     apply_pc_jit = jax.jit(apply_pc)
 
+    _fine_mv = {}
+
     @partial(jax.jit, static_argnums=(0,))
     def cg_chunk_fn(nsteps, u_lin, fields, free, pcdata, state):
+        raw = _fine_mv.get("f")
+
         def A(v):
+            if raw is not None:
+                return raw(v * free) * free + v * (1.0 - free)
             av = grid.tangent_action(u_lin, fields, v * free)
             return av * free + v * (1.0 - free)
 
@@ -135,12 +153,17 @@ def make_grid_solver(
                 scale = 1.0
                 b_in, u_in, fields_in, free_in = b, u, fields, free
             if use_mg:
-                from tpufem.structured import mg2d
-
-                grids, pcdata = mg2d.build_mg2d(
-                    grid, u_in, fields_in, free_in
-                )
+                mod = _mg_mod()
+                build = getattr(mod, "build_mg3d", None) or mod.build_mg2d
+                grids, pcdata = build(grid, u_in, fields_in, free_in)
                 _mg_grids["g"] = grids
+                if mg_matvec_factory is not None and "m" not in _mg_matvecs:
+                    _mg_matvecs["m"] = [
+                        mg_matvec_factory(g) for g in grids[:-1]
+                    ]
+                    _fine_mv["f"] = _mg_matvecs["m"][0]
+            elif mg_matvec_factory is not None and "f" not in _fine_mv:
+                _fine_mv["f"] = mg_matvec_factory(grid)
             else:
                 diag = diag_fn(u_in, fields_in, free_in)
                 pcdata = jnp.where(diag != 0, 1.0 / diag, 1.0)
