@@ -81,11 +81,16 @@ class LaneEngine:
         self.geom_dN = self.geom_w = self.geom_xq = None
         self._fast_fn = self._try_specialize_p1()
 
-        # device plans
-        self.gather_idx = jnp.asarray(p.gather_idx)  # (G, nv, kc, 128)
+        # device plans; index streams in int8 when the window allows —
+        # the select kernels are partly index-bandwidth-bound (measured
+        # 2.3x at WR=16, benchmarks/gather_kernel_probe4.py)
+        idt = np.int8 if p.wg < 127 else np.int32
+        self.gather_idx = jnp.asarray(
+            p.gather_idx.astype(idt)
+        )  # (G, nv, kc, 128)
         self.gather_starts = jnp.asarray(p.gather_starts)
         self.dest_idx = jnp.asarray(
-            p.gather_idx.reshape(p.G, p.nv * p.kc, N_LANES)
+            p.gather_idx.reshape(p.G, p.nv * p.kc, N_LANES).astype(idt)
         )
         self.scatter_starts = jnp.asarray(
             (np.arange(p.G) * p.nv * p.kc).astype(np.int32)
@@ -102,7 +107,7 @@ class LaneEngine:
                          p.R - wg_copy).astype(np.int32)
             self.owner_shifts.append(pp)
             self._owner_starts.append(jnp.asarray(st))
-            self._owner_idx.append(jnp.asarray(oidx))
+            self._owner_idx.append(jnp.asarray(oidx.astype(idt)))
         self.refresh_shifts = []
         self._refresh_starts = []
         self._refresh_idx = []
@@ -111,7 +116,7 @@ class LaneEngine:
                          p.R - wg_own_).astype(np.int32)
             self.refresh_shifts.append(pp)
             self._refresh_starts.append(jnp.asarray(st))
-            self._refresh_idx.append(jnp.asarray(ridx))
+            self._refresh_idx.append(jnp.asarray(ridx.astype(idt)))
 
         # BCs
         self.bcs = list(bcs)

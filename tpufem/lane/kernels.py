@@ -52,7 +52,7 @@ def lane_gather(values, starts, idx, *, wr: int, sum_v: bool = False,
         )
         dma.start()
         dma.wait()
-        ids = idx_ref[0]  # (V, K, 128)
+        ids = idx_ref[0].astype(jnp.int32)  # (V, K, 128)
         w = win[:]
         for c in range(C):
             if sum_v:
@@ -123,7 +123,7 @@ def lane_scatter(src, starts, dest_idx, *, sk: int, k_out: int,
         )
         dma.start()
         dma.wait()
-        dk = didx_ref[0]  # (SK, 128)
+        dk = didx_ref[0].astype(jnp.int32)  # (SK, 128)
         w = win[:]
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_out, L), 0)
         for c in range(C):
