@@ -422,11 +422,15 @@ class LaneEngine:
                 if use_tl:
                     from tpufem.lane import twolevel as tlmod
 
-                    if "static" not in _tl:
-                        _tl["static"], _tl["data"] = tlmod.build_twolevel(
-                            eng, u, coeff_cells, fine_coeffs,
-                            nc=twolevel_nc,
-                        )
+                    # rebuild at the CURRENT linearization state every
+                    # Newton iteration (the asym law's branch pattern
+                    # changes; a frozen smoother/lattice operator lets
+                    # CG stall). Shapes are plan-determined, so no
+                    # retraces — only host planning + small device work.
+                    _tl["static"], _tl["data"] = tlmod.build_twolevel(
+                        eng, u, coeff_cells, fine_coeffs,
+                        nc=twolevel_nc,
+                    )
                     tl_data = _tl["data"]
                 if use_tl:
                     from tpufem.lane import twolevel as tlmod
@@ -441,6 +445,8 @@ class LaneEngine:
                 state = (jnp.zeros_like(b), b, z0, z0, eng.dot(b, z0))
                 tol = max(cfg.cg_rtol * bnorm, cfg.cg_atol)
                 k = 0
+                stall = 0
+                best_rr = float("inf")
                 while k < cfg.cg_maxit:
                     nsteps = min(cg_chunk, cfg.cg_maxit - k)
                     state, rr = cg_chunk_fn(
@@ -448,8 +454,20 @@ class LaneEngine:
                         state
                     )
                     k += nsteps
-                    if float(rr) < tol:
+                    rr = float(rr)
+                    if rr < tol:
                         break
+                    # stall guard: CG on a branch-switched tangent with a
+                    # stale preconditioner can plateau — take the partial
+                    # step (Newton is self-correcting) instead of burning
+                    # cg_maxit
+                    if rr > 0.9 * best_rr:
+                        stall += 1
+                        if stall >= 4:
+                            break
+                    else:
+                        stall = 0
+                    best_rr = min(best_rr, rr)
                 # backtracking damping: the asym damage law is only
                 # piecewise-smooth (branch flips on eigenvalue signs),
                 # and full Newton steps can overshoot; halve until the

@@ -214,18 +214,25 @@ def build_mg2d(
 
 
 def vcycle(grids, data: MGData, b: jnp.ndarray, *, degree: int = 3,
-           lmin_ratio: float = 1.0 / 8.0) -> jnp.ndarray:
+           lmin_ratio: float = 1.0 / 8.0, matvecs=None) -> jnp.ndarray:
     """One symmetric V(degree,degree)-cycle; pure jnp, unrolled levels.
 
     ``grids`` is the static tuple from build_mg2d (scalars + the energy
     callable only — safe to close over); ``data`` carries all arrays and
-    must be passed as a traced argument."""
+    must be passed as a traced argument. ``matvecs``: optional per-level
+    raw linear operators overriding the XLA jvp stencil (see mg3d)."""
 
     def level(l, b):
         if l == len(data.levels):
             return (data.coarse_inv @ b.ravel()).reshape(b.shape)
         L = data.levels[l]
-        A = _constrained_action(grids[l], L.u_lin, L.fields, L.free)
+        if matvecs is not None and l < len(matvecs) and matvecs[l] is not None:
+            raw = matvecs[l]
+
+            def A(v, raw=raw, L=L):
+                return raw(v * L.free) * L.free + v * (1.0 - L.free)
+        else:
+            A = _constrained_action(grids[l], L.u_lin, L.fields, L.free)
         kw = dict(degree=degree, lmin_ratio=lmin_ratio)
         x = chebyshev_iterate(
             A, L.inv_d, L.lmax, b, jnp.zeros_like(b), **kw
