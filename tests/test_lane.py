@@ -145,6 +145,63 @@ def test_generic_path_matches_fast_path():
     assert np.abs(r - r_ref).max() < 1e-12 * np.abs(r_ref).max()
 
 
+@pytest.mark.parametrize(
+    "kind", ["p2_tri", "q1_quad", "q2_quad", "p1_tet", "p1_tet_d2", "q1_hex"]
+)
+def test_lane_element_coverage(kind):
+    """Lane engine beyond P1 simplex: residual + tangent parity with the
+    flat Assembler for P2/Q1/Q2/3D cells (the scalarized generic
+    element path, element_energy_fn_elementwise)."""
+    from tpufem.mesh import box
+    from tpufem.mesh.mesh import CellType
+
+    deg, qdeg = 1, 1
+    if kind == "p2_tri":
+        mesh, deg, qdeg = unit_square(5), 2, 2
+    elif kind == "q1_quad":
+        mesh, qdeg = unit_square(6, cell_type=CellType.quad), 2
+    elif kind == "q2_quad":
+        mesh, deg, qdeg = unit_square(4, cell_type=CellType.quad), 2, 3
+    elif kind == "p1_tet":
+        mesh = box(3, 3, 3, cell_type=CellType.tetra)
+    elif kind == "p1_tet_d2":  # quadrature degree 2 -> generic path
+        mesh, qdeg = box(3, 3, 3, cell_type=CellType.tetra), 2
+    else:
+        mesh, qdeg = box(3, 3, 3), 2
+    dim = mesh.x.shape[1]
+    V = FunctionSpace.create(mesh, deg, bs=dim)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = np.cos(3.0 * DS.dof_coords[:, 0]) * DS.dof_coords[:, 1]
+    terms = [
+        Term(lambda qp: (1.0 + 0.5 * qp.coeff("d"))
+             * linear_elastic_psi(qp.eps, E, NU), qdeg),
+        Term(lambda qp: -1e3 * qp.u[0] * qp.x[dim - 1], qdeg),
+    ]
+    F = EnergyFunctional(V, terms, [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0] * dim)]
+    asm = Assembler(F, bcs)
+    eng = LaneEngine(F, bcs, wg_own=8, interpret=True)
+    if kind != "p1_tet":
+        assert eng._fast_fn is None  # generic elementwise path active
+    coeffs = {"d": jnp.asarray(d)}
+    cc = eng.prepare_coeffs(coeffs)
+    rng = np.random.default_rng(2)
+    u_flat = rng.normal(size=V.n_dofs) * 1e-3
+    u_lane = jnp.asarray(eng.to_lane(u_flat))
+    r = eng.from_lane(eng.residual(u_lane, cc))
+    r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), coeffs))
+    assert np.abs(r - r_ref).max() < 1e-11 * np.abs(r_ref).max()
+    v_flat = rng.normal(size=V.n_dofs)
+    tv = eng.from_lane(
+        eng.tangent_action(u_lane, cc, jnp.asarray(eng.to_lane(v_flat)))
+    )
+    tv_ref = np.asarray(
+        asm.tangent_action(jnp.asarray(u_flat), coeffs, jnp.asarray(v_flat))
+    )
+    assert np.abs(tv - tv_ref).max() < 1e-11 * np.abs(tv_ref).max()
+
+
 def test_lane_solve_matches_flat():
     from tpufem.nls.newton_jit import make_newton_solver
 

@@ -103,6 +103,37 @@ class FacetTerm:
     facets: np.ndarray  # indices into the mesh facet table
 
 
+def _scalar_det_inv(J):
+    """det + inverse of a small square matrix given as nested lists of
+    traced scalars (closed-form adjugate; no linalg, no arrays).
+    J indexed [row][col]; returns (det, inv) with inv[i][j]."""
+    n = len(J)
+    if n == 1:
+        det = J[0][0]
+        return det, [[1.0 / det]]
+    if n == 2:
+        a, b = J[0]
+        c, d = J[1]
+        det = a * d - b * c
+        r = 1.0 / det
+        return det, [[d * r, -b * r], [-c * r, a * r]]
+    if n == 3:
+        a, b, c = J[0]
+        d, e, f = J[1]
+        g, h, i = J[2]
+        A = e * i - f * h
+        B = f * g - d * i
+        C = d * h - e * g
+        det = a * A + b * B + c * C
+        r = 1.0 / det
+        return det, [
+            [A * r, (c * h - b * i) * r, (b * f - c * e) * r],
+            [B * r, (a * i - c * g) * r, (c * d - a * f) * r],
+            [C * r, (b * g - a * h) * r, (a * e - b * d) * r],
+        ]
+    raise NotImplementedError(f"{n}x{n} geometry Jacobian")
+
+
 class EnergyFunctional:
     """Π(u) = Σ_terms ∫ integrand dX; residual F = ∂Π/∂u, Jacobian ∂²Π/∂u².
 
@@ -286,6 +317,125 @@ class EnergyFunctional:
                     qp = QP(grad_u, u_q[0] if bs == 1 else u_q, x_q, cvals, cgrads)
                     w = jnp.asarray(tab["qw"][q], dtype=u_e.dtype)
                     total = total + t.integrand(qp) * w * jnp.abs(detJ)
+            return total
+
+        return energy
+
+    def element_energy_fn_elementwise(self) -> Callable:
+        """Scalarized variant of :meth:`element_energy_fn`.
+
+        Same math, but every small contraction (J = x_eᵀ dN_geom, J⁻¹,
+        reference→physical gradient push, N·u, N_c·c) is unrolled into
+        scalar arithmetic with the basis weights as host constants —
+        zero entries skipped. Under a cells-minor vmap every
+        intermediate is then a single (n_cells,) vector op; the batched
+        micro-matmuls of the generic path force XLA relayouts that cost
+        ~25x on TPU (measured in the lane engine: 62 ms vs 2.5 ms for
+        the same 2.1M-DoF residual). This is the lane engine's generic
+        element path for P2/Q1/Q2/3D cells.
+        """
+        space = self.space
+        bs = space.bs
+        ndof = space.element.ndof
+        gdim = space.mesh.x.shape[1]
+        terms = self.terms
+        tabs = self._tabs
+        coeff_meta = [
+            (c.name, c.space.element.ndof, c.space.bs)
+            for c in self.coefficients
+        ]
+
+        def lin(get, w, zero):
+            """Σ_i w[i]·get(i) with host-constant weights, zeros skipped."""
+            acc = None
+            for i, wi in enumerate(w):
+                wi = float(wi)
+                if wi == 0.0:
+                    continue
+                term = get(i) if wi == 1.0 else wi * get(i)
+                acc = term if acc is None else acc + term
+            return zero if acc is None else acc
+
+        def energy(u_e, x_e, coeff_es):
+            u = u_e.reshape(ndof, bs)
+            zero = jnp.zeros((), dtype=u_e.dtype)
+            total = zero
+            for t, tab in zip(terms, tabs):
+                nq = tab["qw"].shape[0]
+                for q in range(nq):
+                    dNg = np.asarray(tab["dN_geom"][q], np.float64)
+                    dim = dNg.shape[1]
+                    if dim != gdim:
+                        raise NotImplementedError(
+                            "elementwise path needs volume cells (dim == gdim)"
+                        )
+                    J = [
+                        [
+                            lin(lambda v: x_e[v, g], dNg[:, d], zero)
+                            for d in range(dim)
+                        ]
+                        for g in range(gdim)
+                    ]
+                    detJ, Jinv = _scalar_det_inv(J)
+                    # reference gradient of u, then push to physical
+                    dNu = np.asarray(tab["dN_u"][q], np.float64)
+                    gref = [
+                        [lin(lambda v: u[v, c], dNu[:, d], zero)
+                         for d in range(dim)]
+                        for c in range(bs)
+                    ]
+                    grad_u = jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    sum(gref[c][d] * Jinv[d][g]
+                                        for d in range(dim))
+                                    for g in range(gdim)
+                                ]
+                            )
+                            for c in range(bs)
+                        ]
+                    )
+                    Nu = np.asarray(tab["N_u"][q], np.float64)
+                    u_q = [lin(lambda v: u[v, c], Nu, zero) for c in range(bs)]
+                    Ng = np.asarray(tab["N_geom"][q], np.float64)
+                    x_q = jnp.stack(
+                        [lin(lambda v: x_e[v, g], Ng, zero)
+                         for g in range(gdim)]
+                    )
+                    cvals = {}
+                    cgrads = {}
+                    for name, ndc, cb in coeff_meta:
+                        cv = coeff_es[name].reshape(ndc, cb)
+                        Nc = np.asarray(tab["N_c"][name][q], np.float64)
+                        vals = [lin(lambda v: cv[v, cc], Nc, zero)
+                                for cc in range(cb)]
+                        cvals[name] = vals[0] if cb == 1 else jnp.stack(vals)
+                        if name in t.needs_coeff_grads:
+                            dNc = np.asarray(tab["dN_c"][name][q], np.float64)
+                            cgr = [
+                                [lin(lambda v: cv[v, cc], dNc[:, d], zero)
+                                 for d in range(dim)]
+                                for cc in range(cb)
+                            ]
+                            cgrads[name] = jnp.stack(
+                                [
+                                    jnp.stack(
+                                        [
+                                            sum(cgr[cc][d] * Jinv[d][g]
+                                                for d in range(dim))
+                                            for g in range(gdim)
+                                        ]
+                                    )
+                                    for cc in range(cb)
+                                ]
+                            )
+                    qp = QP(
+                        grad_u, u_q[0] if bs == 1 else jnp.stack(u_q),
+                        x_q, cvals, cgrads,
+                    )
+                    w = float(tab["qw"][q])
+                    total = total + t.integrand(qp) * (w * jnp.abs(detJ))
             return total
 
         return energy

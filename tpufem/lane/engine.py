@@ -45,18 +45,25 @@ class LaneEngine:
         interpret: bool = False,
     ):
         space = functional.space
-        if space.element.degree != 1:
-            raise NotImplementedError("lane engine: P1/Q1 only (so far)")
+        if space.element.degree < 1:
+            raise NotImplementedError("lane engine needs degree >= 1")
         self.functional = functional
         self.space = space
         self.bs = space.bs
         self.interpret = interpret
         mesh = space.mesh
+        # plan over scalar-dof "nodes": for P1 these are the mesh
+        # vertices; for P2/Q2 the vertex+edge(+face/cell) dof points —
+        # dof_coords gives every lane node a position for strip/bin
+        # locality, and space.dofmap is the cell->node table
         self.plan = plan or build_lane_plan(
-            mesh.x, np.asarray(space.dofmap), wg_own=wg_own
+            space.dof_coords, np.asarray(space.dofmap), wg_own=wg_own
         )
         p = self.plan
-        self._energy_fn = functional.element_energy_fn()
+        # generic element path: the scalarized evaluator (every small
+        # contraction unrolled; no batched micro-matmuls under the
+        # cells-minor vmap — see element_energy_fn_elementwise)
+        self._energy_fn = functional.element_energy_fn_elementwise()
 
         # per-cell static geometry in lane-cell order (padded cells get
         # cell 0's geometry — their contributions are dropped by the
@@ -145,6 +152,8 @@ class LaneEngine:
         from tpufem.mesh.mesh import CellType
 
         if mesh.cell_type not in (CellType.triangle, CellType.tetra):
+            return None
+        if self.space.element.degree != 1:
             return None
         if len(f.terms) != 1 or f.facet_terms:
             return None

@@ -109,8 +109,10 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     bounds = np.linspace(0, n, N_LANES + 1).astype(np.int64)
     for j in range(N_LANES):
         lane_of[by_x[bounds[j] : bounds[j + 1]]] = j
-    # rank within lane by y (then x for ties)
-    order = np.lexsort((x[:, 0], x[:, 1], lane_of))
+    # rank within lane by (z,) y, then x for ties — spatially coherent
+    # bins along the strip
+    keys = (x[:, 0], x[:, 1]) + ((x[:, 2],) if x.shape[1] > 2 else ())
+    order = np.lexsort(keys + (lane_of,))
     rank = np.empty(n, dtype=np.int64)
     # position within each lane
     lane_sorted = lane_of[order]
@@ -137,8 +139,12 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     ck = np.repeat(cell_key, nv)
     nd = cells.ravel()
     foreign = node_key[nd] != ck
-    pairs = np.stack([ck[foreign], nd[foreign]], axis=1)
-    upairs, pair_inv_f = np.unique(pairs, axis=0, return_inverse=True)
+    # unique (cell-bin-key, node) pairs via a scalar int64 key — the
+    # axis=0 unique on a 2-column array is a void-dtype sort and is
+    # ~100x slower at millions of pairs
+    pair_key = ck[foreign] * np.int64(n) + nd[foreign]
+    ukey, pair_inv_f = np.unique(pair_key, return_inverse=True)
+    upairs = np.stack([ukey // n, ukey % n], axis=1)
     # rank of each unique copy within its bin
     ubin = upairs[:, 0]
     ustart = np.searchsorted(ubin, np.arange(G * N_LANES))
