@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(label, chain, args, x0, reps=(64, 256)):
+def slope_time(label, chain, args, x0, reps=(64, 2064)):
+    # the axon tunnel's per-dispatch round trip is 2-3 s and varies by
+    # seconds run-to-run; the chain-length difference must put several
+    # seconds of real device work between the two runs or the slope is
+    # noise (negative values observed at 192-iteration differences)
     """chain(*args, x, iters) jitted with everything an argument (closure
     constants rematerialize per call on this runtime)."""
     x = chain(*args, x0, 1)

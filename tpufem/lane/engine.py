@@ -70,9 +70,12 @@ class LaneEngine:
         # dest_idx = -1 sentinel, so they only need to be NaN-free)
         order = np.asarray(p.cell_order)
         safe = np.where(order >= 0, order, 0)
-        x_cells = np.asarray(functional.x_cells)  # (nvg, gdim, nc)
+        # per-cell vertex coordinates from the HOST mesh arrays — never
+        # functional.x_cells, which lives on device: pulling it back
+        # through the axon tunnel measured 301 s at 2.1M cells
+        x_cells = mesh.x[mesh.cells]  # (nc, nvg, gdim)
         self.x_lane = jnp.asarray(
-            np.ascontiguousarray(x_cells[:, :, safe])
+            np.ascontiguousarray(x_cells[safe].transpose(1, 2, 0))
         )  # (nvg, gdim, M)
         self._coeff_dofmaps = {
             c.name: c.space.vector_dofmap() for c in functional.coefficients
@@ -172,15 +175,45 @@ class LaneEngine:
         nv = p.nv
         gdim = xe.shape[2]
         dim = nv - 1
-        dN_ref = np.zeros((nv, dim))
-        dN_ref[0, :] = -1.0
-        dN_ref[1:, :] = np.eye(dim)
         import math
 
-        J = np.einsum("mvg,vd->mgd", xe, dN_ref)  # (M, gdim, dim)
-        detJ = np.linalg.det(J)
-        Jinv = np.linalg.inv(J)
-        dN = np.einsum("vd,mdg->mvg", dN_ref, Jinv)  # (M, nv, gdim)
+        # direct simplex geometry (J = edge vectors; adjugate inverse) —
+        # the einsum + np.linalg.inv path costs ~30 s host time at 4.2M
+        # cells
+        J = np.ascontiguousarray(
+            (xe[:, 1:, :] - xe[:, :1, :]).transpose(0, 2, 1)
+        )  # (M, gdim, dim)
+        if dim == 2:
+            a, b = J[:, 0, 0], J[:, 0, 1]
+            c, dd = J[:, 1, 0], J[:, 1, 1]
+            detJ = a * dd - b * c
+            r = 1.0 / detJ
+            Jinv = np.empty_like(J)
+            Jinv[:, 0, 0] = dd * r
+            Jinv[:, 0, 1] = -b * r
+            Jinv[:, 1, 0] = -c * r
+            Jinv[:, 1, 1] = a * r
+        else:
+            a, b, c = J[:, 0, 0], J[:, 0, 1], J[:, 0, 2]
+            d3, e, f = J[:, 1, 0], J[:, 1, 1], J[:, 1, 2]
+            g, h, i = J[:, 2, 0], J[:, 2, 1], J[:, 2, 2]
+            A = e * i - f * h
+            B = f * g - d3 * i
+            C = d3 * h - e * g
+            detJ = a * A + b * B + c * C
+            r = 1.0 / detJ
+            Jinv = np.empty_like(J)
+            Jinv[:, 0, 0] = A * r
+            Jinv[:, 0, 1] = (c * h - b * i) * r
+            Jinv[:, 0, 2] = (b * f - c * e) * r
+            Jinv[:, 1, 0] = B * r
+            Jinv[:, 1, 1] = (a * i - c * g) * r
+            Jinv[:, 1, 2] = (c * d3 - a * f) * r
+            Jinv[:, 2, 0] = C * r
+            Jinv[:, 2, 1] = (b * g - a * h) * r
+            Jinv[:, 2, 2] = (a * e - b * d3) * r
+        # dN_ref = [-1...; eye] -> dN[v=0] = -sum_d Jinv[d], dN[v>0] = Jinv[v-1]
+        dN = np.concatenate([-Jinv.sum(axis=1, keepdims=True), Jinv], axis=1)
         w = np.abs(detJ) / math.factorial(dim)  # (M,)
         xq = xe.mean(axis=1)  # (M, gdim)
         self.geom_dN = jnp.asarray(np.ascontiguousarray(dN.transpose(1, 2, 0)))
