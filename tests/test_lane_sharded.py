@@ -1,0 +1,118 @@
+"""ShardedLaneEngine (device x lane two-level partition): residual /
+tangent / solve parity with the single-chip LaneEngine on the 8-device
+virtual CPU mesh (the mpirun -np 8 analogue, doc.tex:439-441)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufem.config import SolverConfig
+from tpufem.forms import EnergyFunctional, asym_damage_psi
+from tpufem.forms.form import Coefficient, Term
+from tpufem.lane import LaneEngine
+from tpufem.lane.sharded import ShardedLaneEngine
+from tpufem.mesh import unit_square
+from tpufem.spaces import DirichletBC, FunctionSpace
+from tpufem.spaces.bc import locate_dofs_geometrical
+
+E, NU = 1.0e6, 0.3
+
+
+def _problem(n=20):
+    mesh = unit_square(n)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = np.zeros(DS.n_dofs)
+    d[(DS.dof_coords[:, 1] > 0.45) & (DS.dof_coords[:, 1] < 0.55)] = 0.8
+    t = Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), E, NU), 1)
+    F = EnergyFunctional(V, [t], [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    right = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0] - 1) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0]),
+           DirichletBC(V, right, [0.01, 0.0])]
+    return F, bcs, V, {"d": jnp.asarray(d)}
+
+
+@pytest.fixture(scope="module")
+def engines():
+    F, bcs, V, coeffs = _problem()
+    single = LaneEngine(F, bcs, interpret=True)
+    sharded = ShardedLaneEngine(F, bcs, 8, interpret=True)
+    return single, sharded, V, coeffs
+
+
+def test_partition_covers(engines):
+    _, sh, V, _ = engines
+    # every node owned exactly once
+    assert (sh.node_owner < sh.n_shards).all()
+    counts = np.zeros(V.n_scalar_dofs, dtype=int)
+    for s in range(sh.n_shards):
+        counts[sh.nodes_g[s][sh.node_owner[sh.nodes_g[s]] == s]] += 1
+    assert (counts == 1).all()
+    # layout round trip
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=V.n_dofs)
+    back = sh.from_lane(sh.to_lane(u))
+    np.testing.assert_allclose(back, u, rtol=0, atol=0)
+
+
+def test_residual_matches_single(engines):
+    single, sh, V, coeffs = engines
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    cs = single.prepare_coeffs(coeffs)
+    b1, n1 = None, None
+    r1 = single.residual(single.to_lane(u), cs)
+    b1 = -np.asarray(single.from_lane(r1 * 1.0))
+    csh = sh.prepare_coeffs(coeffs)
+    b2, norm2 = sh.residual_rhs(sh.to_lane(u), csh)
+    # sharded rhs masks bc rows; mask the single one the same way
+    free1 = np.asarray(single.from_lane(single.free_lane))
+    got = sh.from_lane(b2)
+    want = b1 * free1
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12 * np.abs(want).max())
+
+
+def test_tangent_matches_single(engines):
+    single, sh, V, coeffs = engines
+    rng = np.random.default_rng(2)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    v = rng.normal(size=V.n_dofs)
+    free1 = np.asarray(single.from_lane(single.free_lane))
+    cs = single.prepare_coeffs(coeffs)
+    av1 = single.tangent_action(
+        single.to_lane(u), cs, single.to_lane(v * free1)
+    )
+    av1 = np.asarray(single.from_lane(av1)) * free1 + v * (1 - free1)
+    csh = sh.prepare_coeffs(coeffs)
+    av2 = sh.from_lane(
+        sh.tangent_action(sh.to_lane(u), csh, sh.to_lane(v))
+    )
+    np.testing.assert_allclose(av2, av1, rtol=0, atol=1e-11 * np.abs(av1).max())
+
+
+def test_solve_matches_single(engines):
+    single, sh, V, coeffs = engines
+    cfg = SolverConfig(newton_maxit=8, cg_maxit=3000)
+    cs = single.prepare_coeffs(coeffs)
+    u1, st1 = single.make_solver(cfg)(
+        single.to_lane(np.zeros(V.n_dofs)), cs
+    )
+    assert st1["converged"]
+    csh = sh.prepare_coeffs(coeffs)
+    u2, st2 = sh.make_solver(cfg)(sh.to_lane(np.zeros(V.n_dofs)), csh)
+    assert st2["converged"], st2
+    du = sh.from_lane(u2) - np.asarray(single.from_lane(u1))
+    scale = np.abs(np.asarray(single.from_lane(u1))).max()
+    assert np.abs(du).max() < 1e-8 * scale
+
+
+def test_determinism(engines):
+    _, sh, V, coeffs = engines
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    csh = sh.prepare_coeffs(coeffs)
+    b1, _ = sh.residual_rhs(sh.to_lane(u), csh)
+    b2, _ = sh.residual_rhs(sh.to_lane(u), csh)
+    assert (np.asarray(b1) == np.asarray(b2)).all()

@@ -15,5 +15,8 @@ dolfinx scatter machinery for unstructured meshes
 
 from tpufem.lane.plan import LanePlan, build_lane_plan
 from tpufem.lane.engine import LaneEngine
+from tpufem.lane.sharded import ShardedLaneEngine
 
-__all__ = ["LanePlan", "build_lane_plan", "LaneEngine"]
+__all__ = [
+    "LanePlan", "build_lane_plan", "LaneEngine", "ShardedLaneEngine",
+]

@@ -309,7 +309,14 @@ class LaneEngine:
             extra = extra + jnp.transpose(add, (1, 0, 2, 3))
         part = part.at[:, :, : p.wg_own, :].add(extra)
         total = part.reshape(bs, p.R, N_LANES)
-        # refresh: overwrite copy slots with home totals
+        return self.refresh_copies(total)
+
+    def refresh_copies(self, total):
+        """Overwrite copy slots with home-slot totals (scatter_fwd within
+        the chip). Also needed standalone after a cross-device owner
+        update changes home-slot values (lane.sharded)."""
+        p = self.plan
+        bs = total.shape[0]
         if self.refresh_shifts:
             ref = jnp.zeros((bs, p.G, p.wg_copy, N_LANES), total.dtype)
             for pp, st, ridx in zip(self.refresh_shifts,
@@ -544,12 +551,12 @@ class LaneEngine:
 
 from tpufem.utils.pytree import register_pytree_with_leaves
 
-register_pytree_with_leaves(
-    LaneEngine,
-    [
-        "x_lane", "gather_idx", "gather_starts", "dest_idx",
-        "scatter_starts", "_owner_starts", "_owner_idx",
-        "_refresh_starts", "_refresh_idx", "free_lane", "bc_lane",
-        "owned_w", "geom_dN", "geom_w", "geom_xq",
-    ],
+# every device-array field (lane.sharded stacks these across devices)
+LANE_LEAF_FIELDS = (
+    "x_lane", "gather_idx", "gather_starts", "dest_idx",
+    "scatter_starts", "_owner_starts", "_owner_idx",
+    "_refresh_starts", "_refresh_idx", "free_lane", "bc_lane",
+    "owned_w", "geom_dN", "geom_w", "geom_xq",
 )
+
+register_pytree_with_leaves(LaneEngine, list(LANE_LEAF_FIELDS))

@@ -93,9 +93,15 @@ class LanePlan:
 
 
 def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
-                    wg_own: int = 16) -> LanePlan:
+                    wg_own: int = 16, min_G: int = 0, min_kc: int = 0,
+                    min_wg_copy: int = 0) -> LanePlan:
     """Build the plan from node coordinates (n, gdim) and the (nc, nv)
-    P1 cell->node table."""
+    P1 cell->node table.
+
+    ``min_G``/``min_kc``/``min_wg_copy`` force lower bounds on the bin
+    count, cells-per-bin and copy-window dims so plans built for
+    different subdomains share static shapes (the multi-device
+    composition stacks per-device plans along a shard axis)."""
     x = np.asarray(mesh_x)
     cells = np.asarray(cells)
     n, nc = len(x), len(cells)
@@ -120,7 +126,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     rank[order] = np.arange(n) - starts[lane_sorted]
     bin_of = rank // wg_own
     row_in_bin = rank % wg_own
-    G = int(bin_of.max()) + 1
+    G = max(int(bin_of.max()) + 1, min_G)
 
     # --- cells -> home bins -----------------------------------------------------
     cell_lane = lane_of[cells[:, 0]]
@@ -131,7 +137,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     kstart = np.searchsorted(key_sorted, np.arange(G * N_LANES))
     cpos = np.empty(nc, dtype=np.int64)
     cpos[csort] = np.arange(nc) - kstart[key_sorted]
-    kc = _round_up(max(int(np.bincount(cell_key).max()), 1), 8)
+    kc = max(_round_up(max(int(np.bincount(cell_key).max()), 1), 8), min_kc)
 
     # --- copies -----------------------------------------------------------------
     # (cell-bin-key, node) pairs where the node's home differs
@@ -151,6 +157,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     copy_rank = np.arange(len(upairs)) - ustart[ubin]
     copies_per_bin = np.bincount(ubin, minlength=G * N_LANES)
     wg_copy = _round_up(max(int(copies_per_bin.max()) if len(upairs) else 8, 8), 8)
+    wg_copy = max(wg_copy, min_wg_copy)
     wg = wg_own + wg_copy
     R = G * wg
 

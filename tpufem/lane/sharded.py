@@ -1,0 +1,591 @@
+"""Multi-device composition of the lane engine: device x lane two-level
+partition of an unstructured mesh.
+
+Outer level: cells are partitioned into one subdomain per TPU device
+(RCB, the METIS role of doc.tex:390-410). Each device gets its OWN full
+128-lane plan over its subdomain — every chip keeps all vector lanes
+busy regardless of device count. Inner level: the single-chip lane
+engine (gather -> physics -> scatter -> owner-sum -> refresh, all
+windowed Pallas selects).
+
+Cross-device consistency is the reference's owner/ghost protocol
+(FEniCSx/mechanic2d/asym_elasto_damage_model.cc:325-344, 390-397)
+lifted to lane *slots*: after each device's intra-chip scatter produces
+its subdomain-consistent sums, shared nodes do
+
+    scatter_rev(add):  ghost home slots -> owner home slot   [all_to_all]
+    scatter_fwd:       owner total -> ghost home slots       [all_to_all]
+    refresh_copies:    home slots -> intra-plan copy slots    [Pallas]
+
+inside one ``shard_map`` program, so the whole Newton-Krylov iteration
+compiles to a single XLA executable per device with ICI collectives.
+All per-device plans are built with forced-common static dims
+(min_G/min_kc/min_wg_copy of build_lane_plan) and a unionized
+owner/refresh pass list, so their arrays stack along a leading shard
+axis.
+"""
+
+from __future__ import annotations
+
+import copy
+import functools
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpufem.config import SolverConfig
+from tpufem.forms.form import Coefficient, EnergyFunctional
+from tpufem.lane.engine import LANE_LEAF_FIELDS, LaneEngine
+from tpufem.lane.plan import N_LANES, build_lane_plan
+from tpufem.mesh.mesh import Mesh
+from tpufem.spaces.bc import DirichletBC, combine_bcs
+from tpufem.spaces.space import FunctionSpace
+
+AXIS = "shard"
+
+
+def _index0(tree):
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+class ShardedLaneEngine:
+    """LaneEngine sharded over an n-device 1-D mesh.
+
+    Supports the lane engine's flagship configuration: a degree-1
+    space on simplices with degree <=1 coefficients and cell terms only
+    (the reference workload shape). Other configurations use
+    parallel.DistributedProblem.
+    """
+
+    def __init__(
+        self,
+        functional: EnergyFunctional,
+        bcs: Sequence[DirichletBC],
+        n_shards: int,
+        *,
+        wg_own: int = 16,
+        method: str = "rcb",
+        interpret: bool = False,
+        devices: Optional[Sequence] = None,
+    ):
+        space = functional.space
+        mesh = space.mesh
+        if space.element.degree != 1:
+            raise NotImplementedError("sharded lane engine: degree-1 spaces")
+        if functional.facet_terms:
+            raise NotImplementedError("sharded lane engine: cell terms only")
+        for c in functional.coefficients:
+            if c.space.element.degree > 1:
+                raise NotImplementedError(
+                    "sharded lane engine: coefficient degree <= 1"
+                )
+        self.functional = functional
+        self.space = space
+        self.bs = bs = space.bs
+        self.n_shards = S = int(n_shards)
+        self.interpret = interpret
+
+        from tpufem.parallel.partition import rcb_partition, sfc_partition
+
+        cell_part = (
+            rcb_partition(mesh, S) if method == "rcb"
+            else sfc_partition(mesh, S)
+        )
+        cells = np.asarray(space.dofmap)  # == mesh.cells for degree 1
+        n_nodes = space.n_scalar_dofs
+
+        # --- subdomains: nodes, submeshes, owners --------------------------------
+        self.cells_g = []  # global cell ids per shard
+        self.nodes_g = []  # sorted global node ids per shard
+        submeshes = []
+        for s in range(S):
+            cs = np.nonzero(cell_part == s)[0]
+            gn, inv = np.unique(cells[cs].ravel(), return_inverse=True)
+            self.cells_g.append(cs)
+            self.nodes_g.append(gn)
+            submeshes.append(
+                Mesh(
+                    x=mesh.x[gn],
+                    cells=inv.reshape(len(cs), -1),
+                    cell_type=mesh.cell_type,
+                )
+            )
+        owner = np.full(n_nodes, S, dtype=np.int64)
+        for s in range(S - 1, -1, -1):
+            owner[self.nodes_g[s]] = s
+        self.node_owner = owner
+
+        # --- per-shard plans with forced-common dims ------------------------------
+        plans = [
+            build_lane_plan(sm.x, sm.cells, wg_own=wg_own)
+            for sm in submeshes
+        ]
+        Gm = max(p.G for p in plans)
+        kcm = max(p.kc for p in plans)
+        wcm = max(p.wg_copy for p in plans)
+        if any(
+            (p.G, p.kc, p.wg_copy) != (Gm, kcm, wcm) for p in plans
+        ):
+            plans = [
+                build_lane_plan(
+                    sm.x, sm.cells, wg_own=wg_own, min_G=Gm, min_kc=kcm,
+                    min_wg_copy=wcm,
+                )
+                for sm in submeshes
+            ]
+        # unionize owner/refresh pass keys so the SPMD program is common
+        keys = sorted(
+            {(pp, qq) for p in plans for (pp, qq, _) in p.owner_passes}
+        )
+        wg = plans[0].wg
+        for p in plans:
+            od = {(a, b): ix for a, b, ix in p.owner_passes}
+            rd = {(a, b): ix for a, b, ix in p.refresh_passes}
+            p.owner_passes = [
+                (a, b, od.get(
+                    (a, b),
+                    np.full((Gm, 1, p.wg_own, N_LANES), -1, np.int32),
+                ))
+                for (a, b) in keys
+            ]
+            p.refresh_passes = [
+                (a, b, rd.get(
+                    (a, b),
+                    np.full((Gm, 1, p.wg_copy, N_LANES), -1, np.int32),
+                ))
+                for (a, b) in keys
+            ]
+        self.plans = plans
+        self.R = plans[0].R
+        self.flat_size = self.R * N_LANES
+
+        # --- sub-functionals + engines ---------------------------------------------
+        if bcs:
+            bc_dofs, bc_vals, bc_mask = combine_bcs(bcs, space.n_dofs)
+            bc_full = np.zeros(space.n_dofs)
+            bc_full[bc_dofs] = bc_vals
+        else:
+            bc_mask = np.zeros(space.n_dofs, dtype=bool)
+            bc_full = np.zeros(space.n_dofs)
+
+        self.coeff_restrict: Dict[str, list] = {
+            c.name: [] for c in functional.coefficients
+        }
+        engines = []
+        for s in range(S):
+            sm = submeshes[s]
+            subspace = FunctionSpace.create(sm, 1, bs=bs)
+            subcoeffs = []
+            for c in functional.coefficients:
+                deg, cb = c.space.element.degree, c.space.bs
+                subcoeffs.append(
+                    Coefficient(c.name, FunctionSpace.create(sm, deg, bs=cb))
+                )
+                base = (
+                    self.nodes_g[s] if deg == 1 else self.cells_g[s]
+                ).astype(np.int64)
+                self.coeff_restrict[c.name].append(
+                    (base[:, None] * cb + np.arange(cb)).ravel()
+                )
+            f_s = EnergyFunctional(
+                subspace, functional.terms, subcoeffs
+            )
+            eng = LaneEngine(
+                f_s, (), wg_own=wg_own, plan=plans[s], interpret=interpret
+            )
+            # cross-device BC + ownership overrides (global numbering)
+            lsel = (
+                self.nodes_g[s][:, None] * bs + np.arange(bs)
+            ).ravel()
+            eng.free_lane = jnp.asarray(
+                plans[s].to_lane((~bc_mask[lsel]).astype(np.float64), bs)
+            )
+            eng.bc_lane = jnp.asarray(plans[s].to_lane(bc_full[lsel], bs))
+            ow = np.zeros((self.R, N_LANES))
+            ow[plans[s].node_row, plans[s].node_lane] = (
+                owner[self.nodes_g[s]] == s
+            )
+            eng.owned_w = jnp.asarray(ow[None])
+            engines.append(eng)
+        self._engines = engines
+        self._template = engines[0]
+
+        # --- cross-device halo slot tables ------------------------------------------
+        # ghost instances: (node n, toucher t) with owner[n] != t
+        pn = np.concatenate(self.nodes_g)
+        ps = np.concatenate(
+            [np.full(len(g), s, np.int64) for s, g in enumerate(self.nodes_g)]
+        )
+        gsel = owner[pn] != ps
+        gn, gt = pn[gsel], ps[gsel]
+        go = owner[gn]
+        srt = np.lexsort((gn, gt, go))
+        gn, gt, go = gn[srt], gt[srt], go[srt]
+        pair_key = go * S + gt
+        counts = np.bincount(pair_key, minlength=S * S)
+        K = max(int(counts.max()) if len(gn) else 1, 1)
+        kstart = np.searchsorted(pair_key, np.arange(S * S))
+        kpos = np.arange(len(gn)) - kstart[pair_key]
+
+        def slot_of(shard, nodes):
+            p = plans[shard]
+            loc = np.searchsorted(self.nodes_g[shard], nodes)
+            return p.node_row[loc] * N_LANES + p.node_lane[loc]
+
+        send_idx = np.full((S, S, K), -1, dtype=np.int64)
+        recv_place = np.full((S, S, K), -1, dtype=np.int64)
+        for o in range(S):
+            for t in range(S):
+                sel = (go == o) & (gt == t)
+                if not sel.any():
+                    continue
+                kk = kpos[sel]
+                send_idx[o, t, kk] = slot_of(o, gn[sel])
+                recv_place[t, o, kk] = slot_of(t, gn[sel])
+        self._send_idx = jnp.asarray(send_idx.astype(np.int32))
+        self._recv_place = jnp.asarray(recv_place.astype(np.int32))
+        self.halo_K = K
+
+        # --- stack leaves across shards, shard over the device mesh ------------------
+        devs = list(devices) if devices is not None else jax.devices()[:S]
+        if len(devs) < S:
+            raise ValueError(f"need {S} devices, have {len(devs)}")
+        self.device_mesh = DeviceMesh(np.array(devs), (AXIS,))
+        sharding = NamedSharding(self.device_mesh, P(AXIS))
+
+        stacked = {}
+        for f in LANE_LEAF_FIELDS:
+            vals = [getattr(e, f) for e in engines]
+            if vals[0] is None:
+                stacked[f] = None
+            elif isinstance(vals[0], (list, tuple)):
+                stacked[f] = [
+                    jnp.stack([v[i] for v in vals])
+                    for i in range(len(vals[0]))
+                ]
+            else:
+                stacked[f] = jnp.stack(vals)
+        self.leaves = jax.device_put(stacked, sharding)
+        self._send_idx = jax.device_put(self._send_idx, sharding)
+        self._recv_place = jax.device_put(self._recv_place, sharding)
+        # per-shard device arrays now live only in the stacked copy
+        # (_local_engine swaps every leaf field back in device-side)
+        for e in engines:
+            for f in LANE_LEAF_FIELDS:
+                setattr(e, f, None)
+        self._sharding = sharding
+        self._build_programs()
+
+    # -- host-side layout ----------------------------------------------------------
+
+    def to_lane(self, u_flat) -> jnp.ndarray:
+        """Global byVDIM vector -> (S, bs, R, 128) sharded state."""
+        u = np.asarray(u_flat).reshape(-1, self.bs)
+        out = np.stack(
+            [
+                self.plans[s].to_lane(u[self.nodes_g[s]].ravel(), self.bs)
+                for s in range(self.n_shards)
+            ]
+        )
+        return jax.device_put(jnp.asarray(out), self._sharding)
+
+    def from_lane(self, u_lane) -> np.ndarray:
+        """(S, bs, R, 128) -> global byVDIM vector (owner-authoritative)."""
+        u_lane = np.asarray(u_lane)
+        out = np.zeros((self.space.n_scalar_dofs, self.bs))
+        for s in range(self.n_shards):
+            vals = self.plans[s].from_lane(u_lane[s], self.bs)
+            own = self.node_owner[self.nodes_g[s]] == s
+            out[self.nodes_g[s][own]] = vals.reshape(-1, self.bs)[own]
+        return out.ravel()
+
+    def prepare_coeffs(self, coeffs: Dict[str, jnp.ndarray]):
+        out = {}
+        for name, restricts in self.coeff_restrict.items():
+            g = np.asarray(coeffs[name])
+            per = [
+                np.asarray(self._engines[s].prepare_coeffs(
+                    {name: g[restricts[s]]}
+                )[name])
+                for s in range(self.n_shards)
+            ]
+            out[name] = jax.device_put(
+                jnp.asarray(np.stack(per)), self._sharding
+            )
+        return out
+
+    # -- device programs --------------------------------------------------------------
+
+    def _local_engine(self, leaves_local):
+        eng = copy.copy(self._template)
+        for f in LANE_LEAF_FIELDS:
+            object.__setattr__(eng, f, leaves_local[f])
+        return eng
+
+    def _build_programs(self):
+        bs = self.bs
+        FL = self.flat_size
+        S = self.n_shards
+        mesh = self.device_mesh
+        tmpl = self
+
+        def halo_fwd(u_flat, send, recvp):
+            # owner home slots -> ghost home slots (scatter_fwd)
+            safe = jnp.where(send >= 0, send, 0)
+            buf = jnp.take(u_flat, safe.ravel(), axis=1).reshape(
+                u_flat.shape[0], S, -1
+            ) * (send >= 0)
+            recv = jax.lax.all_to_all(buf, AXIS, split_axis=1, concat_axis=1)
+            tgt = jnp.where(recvp >= 0, recvp, FL)
+            ext = jnp.concatenate(
+                [u_flat, jnp.zeros((u_flat.shape[0], 1), u_flat.dtype)], axis=1
+            )
+            ext = ext.at[:, tgt.ravel()].set(
+                recv.reshape(u_flat.shape[0], -1), mode="drop"
+            )
+            return ext[:, :FL]
+
+        def halo_rev_add(r_flat, send, recvp):
+            # ghost home slots -> add into owner home slots (scatter_rev +)
+            safe = jnp.where(recvp >= 0, recvp, 0)
+            buf = jnp.take(r_flat, safe.ravel(), axis=1).reshape(
+                r_flat.shape[0], S, -1
+            ) * (recvp >= 0)
+            recv = jax.lax.all_to_all(buf, AXIS, split_axis=1, concat_axis=1)
+            tgt = jnp.where(send >= 0, send, FL)
+            ext = jnp.concatenate(
+                [r_flat, jnp.zeros((r_flat.shape[0], 1), r_flat.dtype)], axis=1
+            )
+            ext = ext.at[:, tgt.ravel()].add(
+                recv.reshape(r_flat.shape[0], -1), mode="drop"
+            )
+            return ext[:, :FL]
+
+        def cross_sum(eng, r, send, recvp):
+            """Subdomain-consistent r -> globally consistent r."""
+            flat = r.reshape(bs, FL)
+            flat = halo_rev_add(flat, send, recvp)
+            flat = halo_fwd(flat, send, recvp)
+            return eng.refresh_copies(flat.reshape(bs, tmpl.R, N_LANES))
+
+        def pdot(eng, a, b):
+            return jax.lax.psum(
+                jnp.sum(a * b * eng.owned_w.astype(a.dtype)), AXIS
+            )
+
+        def res_body(leaves, u, coeffs, send, recvp, free, which):
+            leaves, u, coeffs = _index0((leaves, u, coeffs))
+            send, recvp, free = _index0((send, recvp, free))
+            eng = self._local_engine(leaves)
+            if which == "residual":
+                r = eng.residual(u, coeffs)
+            else:
+                r = eng.diagonal(u, coeffs)
+            r = cross_sum(eng, r, send, recvp)
+            if which == "residual":
+                b = -r * free
+                return b[None], jax.lax.psum(
+                    jnp.sum(b * b * eng.owned_w.astype(b.dtype)), AXIS
+                )[None]
+            d = r * free + (1.0 - free)
+            dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+            return dinv[None], jnp.zeros((1,), u.dtype)
+
+        specs_res = (P(AXIS),) * 6
+        self._rhs = jax.jit(
+            shard_map(
+                functools.partial(res_body, which="residual"),
+                mesh=mesh, in_specs=specs_res,
+                out_specs=(P(AXIS), P(AXIS)), check_rep=False,
+            )
+        )
+        self._diag = jax.jit(
+            shard_map(
+                functools.partial(res_body, which="diag"),
+                mesh=mesh, in_specs=specs_res,
+                out_specs=(P(AXIS), P(AXIS)), check_rep=False,
+            )
+        )
+
+        def tangent_body(leaves, u, coeffs, send, recvp, free, v):
+            leaves, u, coeffs = _index0((leaves, u, coeffs))
+            send, recvp, free, v = _index0((send, recvp, free, v))
+            eng = self._local_engine(leaves)
+            u_cells = eng._gather_cells(u)
+            av = eng.tangent_from_cells(u_cells, coeffs, v * free)
+            av = cross_sum(eng, av, send, recvp)
+            av = av * free + v * (1.0 - free)
+            return av[None]
+
+        self._tangent = jax.jit(
+            shard_map(
+                tangent_body, mesh=mesh, in_specs=(P(AXIS),) * 7,
+                out_specs=P(AXIS), check_rep=False,
+            )
+        )
+
+        def cg_body(nsteps, leaves, u, coeffs, send, recvp, free, dinv,
+                    state):
+            leaves, u, coeffs = _index0((leaves, u, coeffs))
+            send, recvp, free, dinv = _index0((send, recvp, free, dinv))
+            state = _index0(state)
+            eng = self._local_engine(leaves)
+            u_cells = eng._gather_cells(u)  # frozen linearization state
+
+            def A(v):
+                av = eng.tangent_from_cells(u_cells, coeffs, v * free)
+                av = cross_sum(eng, av, send, recvp)
+                return av * free + v * (1.0 - free)
+
+            def body(_, st):
+                x, r, z, pv, rz = st
+                Ap = A(pv)
+                alpha = rz / pdot(eng, pv, Ap)
+                x = x + alpha * pv
+                r = r - alpha * Ap
+                z = dinv * r
+                rz_new = pdot(eng, r, z)
+                pv = z + (rz_new / rz) * pv
+                return (x, r, z, pv, rz_new)
+
+            st = jax.lax.fori_loop(0, nsteps, body, state)
+            rn = jnp.sqrt(pdot(eng, st[1], st[1]))
+            return jax.tree.map(lambda x: x[None], st), rn[None]
+
+        def make_cg(nsteps):
+            return jax.jit(
+                shard_map(
+                    functools.partial(cg_body, nsteps),
+                    mesh=mesh, in_specs=(P(AXIS),) * 8,
+                    out_specs=(P(AXIS), P(AXIS)), check_rep=False,
+                )
+            )
+
+        self._cg_cache = {}
+        self._make_cg = make_cg
+
+        def dot_body(leaves, a, b):
+            leaves, a, b = _index0((leaves, a, b))
+            eng = self._local_engine(leaves)
+            return pdot(eng, a, b)[None]
+
+        self._dot = jax.jit(
+            shard_map(
+                dot_body, mesh=mesh, in_specs=(P(AXIS),) * 3,
+                out_specs=P(AXIS), check_rep=False,
+            )
+        )
+
+    # -- public device ops --------------------------------------------------------------
+
+    def _free(self, dtype):
+        return self.leaves["free_lane"].astype(dtype)
+
+    def residual_rhs(self, u_lane, coeff_cells):
+        """(-F(u) masked free, ||.||) — globally consistent."""
+        free = self._free(u_lane.dtype)
+        b, n2 = self._rhs(
+            self.leaves, u_lane, coeff_cells, self._send_idx,
+            self._recv_place, free,
+        )
+        return b, jnp.sqrt(n2[0])
+
+    def tangent_action(self, u_lane, coeff_cells, v_lane):
+        free = self._free(u_lane.dtype)
+        return self._tangent(
+            self.leaves, u_lane, coeff_cells, self._send_idx,
+            self._recv_place, free, v_lane,
+        )
+
+    def dot(self, a, b):
+        return self._dot(self.leaves, a, b)[0]
+
+    # -- solver ---------------------------------------------------------------------------
+
+    def make_solver(self, cfg: Optional[SolverConfig] = None, *,
+                    cg_chunk: int = 100):
+        """Chunked Newton-Krylov (Jacobi PC) over the device mesh —
+        the distributed analogue of LaneEngine.make_solver."""
+        cfg = cfg or SolverConfig()
+
+        def solve(u0_lane, coeff_cells):
+            free = self._free(u0_lane.dtype)
+            bc = self.leaves["bc_lane"].astype(u0_lane.dtype)
+            u = jnp.where(free > 0, u0_lane, bc)
+            r0 = None
+            total_cg = 0
+            it = 0
+            for it in range(1, cfg.newton_maxit + 1):
+                b, bnorm = self.residual_rhs(u, coeff_cells)
+                bnorm = float(bnorm)
+                if r0 is None:
+                    r0 = bnorm
+                if bnorm < max(cfg.newton_rtol * r0, cfg.newton_atol):
+                    it -= 1
+                    break
+                dinv, _ = self._diag(
+                    self.leaves, u, coeff_cells, self._send_idx,
+                    self._recv_place, free,
+                )
+                z0 = dinv * b
+                state = (jnp.zeros_like(b), b, z0, z0,
+                         self.dot(b, z0) * jnp.ones(self.n_shards))
+                # rz replicated as (S,) so it shards cleanly
+                state = (state[0], state[1], state[2], state[3],
+                         jax.device_put(state[4], self._sharding))
+                tol = max(cfg.cg_rtol * bnorm, cfg.cg_atol)
+                k = 0
+                stall = 0
+                best_rr = float("inf")
+                while k < cfg.cg_maxit:
+                    nsteps = min(cg_chunk, cfg.cg_maxit - k)
+                    if nsteps not in self._cg_cache:
+                        self._cg_cache[nsteps] = self._make_cg(nsteps)
+                    state, rr = self._cg_cache[nsteps](
+                        self.leaves, u, coeff_cells, self._send_idx,
+                        self._recv_place, free, dinv,
+                        jax.tree.map(lambda x: x, state),
+                    )
+                    k += nsteps
+                    rr = float(rr[0])
+                    if rr < tol:
+                        break
+                    if rr > 0.9 * best_rr:
+                        stall += 1
+                        if stall >= 4:
+                            break
+                    else:
+                        stall = 0
+                    best_rr = min(best_rr, rr)
+                step = state[0] * free
+                alpha = 1.0
+                for _ in range(6):
+                    _, bn_new = self.residual_rhs(
+                        u + alpha * step, coeff_cells
+                    )
+                    if float(bn_new) <= bnorm * (1.0 + 1e-12):
+                        break
+                    alpha *= 0.5
+                u = u + alpha * step
+                total_cg += k
+                if cfg.verbose:
+                    print(
+                        f"sharded-lane Newton {it}: |r| = {bnorm:.6e} "
+                        f"(cg {k})"
+                    )
+            b, bnorm = self.residual_rhs(u, coeff_cells)
+            bnorm = float(bnorm)
+            converged = bnorm < max(
+                cfg.newton_rtol * (r0 or bnorm or 1.0), cfg.newton_atol
+            )
+            return u, dict(
+                newton_iters=it, total_cg_iters=total_cg,
+                final_residual=bnorm, r0=r0 or bnorm, converged=converged,
+            )
+
+        return solve
