@@ -1,6 +1,7 @@
-"""Per-stage timing of the lane residual pipeline at ~2.1M DoF:
-gather / physics / scatter+owner+refresh, chained separately.
-Usage: python benchmarks/lane_stage_probe.py [n=1024] [wg_own=16]
+"""Stage-by-stage timing of the lane residual at ~2.1M DoF: which of
+gather / physics / scatter / owner-sum / refresh dominates?
+
+Usage: python benchmarks/lane_stage_probe.py [n=1024]
 """
 
 import sys
@@ -14,109 +15,126 @@ sys.path.insert(0, "/root/repo")
 import jax.numpy as jnp
 import numpy as np
 
-
-def slope(label, chain, args, x0, reps=(64, 2064)):
-    x = chain(*args, x0, 1)
-    float(np.asarray(x).ravel()[0])
-
-    def run(r):
-        t0 = time.perf_counter()
-        xx = chain(*args, x0, r)
-        float(np.asarray(xx).ravel()[0])
-        return time.perf_counter() - t0
-
-    ta, tb = run(reps[0]), run(reps[1])
-    per = max(tb - ta, 1e-9) / (reps[1] - reps[0])
-    print(f"{label}: {per*1e3:8.3f} ms/iter", flush=True)
-    return per
+from benchmarks.lane_bench import slope_time
 
 
 def main():
     from tpufem.forms import EnergyFunctional, asym_damage_psi
     from tpufem.forms.form import Coefficient, Term
     from tpufem.lane import LaneEngine
+    from tpufem.lane.plan import N_LANES
     from tpufem.mesh import unit_square
     from tpufem.spaces import DirichletBC, FunctionSpace
     from tpufem.spaces.bc import locate_dofs_geometrical
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    wg_own = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-
+    E, NU = 1.0e6, 0.3
     mesh = unit_square(n)
     V = FunctionSpace.create(mesh, 1, bs=2)
     DS = FunctionSpace.create(mesh, 1, bs=1)
+    ndofs = V.n_dofs
     d = np.zeros(DS.n_dofs, np.float32)
     d[(DS.dof_coords[:, 1] > 0.45) & (DS.dof_coords[:, 1] < 0.55)] = 0.8
-    t = Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), 1e6, 0.3), 1)
+    t = Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), E, NU), 1)
     F = EnergyFunctional(V, [t], [Coefficient("d", DS)])
     left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
-    eng = LaneEngine(F, [DirichletBC(V, left, [0.0, 0.0])], wg_own=wg_own)
-    cc = jax.tree.map(lambda a: a.astype(jnp.float32),
-                      eng.prepare_coeffs({"d": jnp.asarray(d)}))
-    eng = jax.tree.map(
-        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, eng
+    right = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0] - 1) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0]),
+           DirichletBC(V, right, [0.01, 0.0])]
+    eng = LaneEngine(F, bcs)
+    p = eng.plan
+    print(
+        f"{ndofs/1e6:.2f}M dofs  G={p.G} wg={p.wg} kc={p.kc} R={p.R} "
+        f"M={p.G*p.kc*N_LANES/1e6:.2f}M slots ({p.n_cells/1e6:.2f}M cells) "
+        f"copies={len(p.copy_dst_rows)/p.n_nodes:.2f}x "
+        f"passes={len(eng.owner_shifts)}",
+        flush=True,
     )
-    u0 = eng.bc_lane.astype(jnp.float32)
-    print(f"ready: {V.n_dofs/1e6:.2f}M dofs", flush=True)
 
-    nd = eng.plan.nv * eng.bs
-    M = eng.plan.G * eng.plan.kc * 128
-    ev0 = jnp.zeros((nd, M), jnp.float32)
+    dtype = jnp.float32
+    cc = jax.tree.map(
+        lambda a: a.astype(dtype), eng.prepare_coeffs({"d": jnp.asarray(d)})
+    )
+    eng32 = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float64 else a, eng
+    )
+    u0 = eng32.bc_lane.astype(dtype)
 
+    # stage 1: gather only
     @jax.jit
-    def c_gather(e, x, iters):
+    def chain_g(e, x, iters):
         def body(_, xx):
             g = e._gather_cells(xx)
-            return xx * 0.9999 + g[:2].reshape(
-                2, e.plan.G * e.plan.kc, 128
-            )[:, : e.plan.R, :] * 1e-9
+            # fold back to state shape cheaply (sum over nd -> per-slot)
+            bs = xx.shape[0]
+            s = g.reshape(p.nv, bs, p.G, p.kc, N_LANES).sum(axis=(0, 3))
+            pad = jnp.zeros((bs, p.G, p.wg - 1, N_LANES), xx.dtype)
+            full = jnp.concatenate([s[:, :, None, :], pad], axis=2)
+            return xx * 0.9999 + full.reshape(bs, p.R, N_LANES) * 1e-9
+
         return jax.lax.fori_loop(0, iters, body, x)
 
+    # stage 2: gather + physics (grad), fold without scatter
     @jax.jit
-    def c_phys(e, c, g0, iters):
-        fn, xarg, xax = e._elem_args(jnp.float32)
-        gr = jax.vmap(jax.grad(fn), in_axes=(-1,) + xax + (-1,), out_axes=-1)
-
-        def body(_, gg):
-            ev = gr(gg, xarg, c)
-            return gg * 0.9999 + ev * 1e-9
-        return jax.lax.fori_loop(0, iters, body, g0)
-
-    @jax.jit
-    def c_scatter(e, ev, iters):
+    def chain_gp(e, c, x, iters):
         def body(_, xx):
-            r = e._scatter_cells(xx)
-            big = jnp.zeros_like(xx)
-            big = big.at[:, : e.plan.R // 2, :].set(r[:, : e.plan.R // 2, :])
-            return xx * 0.9999 + big * 1e-9
-        return jax.lax.fori_loop(0, iters, body, ev.reshape(nd, M))
+            u_cells = e._gather_cells(xx)
+            fn, xarg, xax = e._elem_args(xx.dtype)
+            gfun = jax.vmap(jax.grad(fn), in_axes=(-1,) + xax + (-1,),
+                            out_axes=-1)
+            ev = gfun(u_cells, xarg, c)
+            bs = xx.shape[0]
+            s = ev.reshape(p.nv, bs, p.G, p.kc, N_LANES).sum(axis=(0, 3))
+            pad = jnp.zeros((bs, p.G, p.wg - 1, N_LANES), xx.dtype)
+            full = jnp.concatenate([s[:, :, None, :], pad], axis=2)
+            return xx * 0.9999 + full.reshape(bs, p.R, N_LANES) * 1e-9
 
-    # scatter chain needs matching shapes: feed (nd, M) and fold r back in
-    @jax.jit
-    def c_scatter2(e, x, iters):
-        # x is (bs, R, 128); build fake element vectors by broadcast and
-        # time scatter+owner+refresh alone
-        def body(_, xx):
-            ev = jnp.broadcast_to(
-                xx.reshape(eng.bs, -1)[:, :1], (eng.bs, M)
-            ) * jnp.ones((eng.plan.nv, 1, 1), xx.dtype)
-            ev = ev.reshape(nd, M) * 0.5
-            r = e._scatter_cells(ev)
-            return xx * 0.9999 + r * 1e-9
         return jax.lax.fori_loop(0, iters, body, x)
 
-    g0 = eng._gather_cells(u0)
-    slope("gather          ", c_gather, (eng,), u0)
-    slope("physics (grad)  ", c_phys, (eng, cc), g0)
-    slope("scatter+owner   ", c_scatter2, (eng,), u0)
-
+    # stage 3: gather + physics + bin scatter, skip owner/refresh
     @jax.jit
-    def c_res(e, c, x, iters):
+    def chain_gps(e, c, x, iters):
+        def body(_, xx):
+            u_cells = e._gather_cells(xx)
+            fn, xarg, xax = e._elem_args(xx.dtype)
+            gfun = jax.vmap(jax.grad(fn), in_axes=(-1,) + xax + (-1,),
+                            out_axes=-1)
+            ev = gfun(u_cells, xarg, c)
+            from tpufem.lane.kernels import lane_scatter
+
+            bs = xx.shape[0]
+            e4 = ev.reshape(p.nv, bs, p.G, p.kc, N_LANES)
+            src = jnp.transpose(e4, (1, 2, 0, 3, 4)).reshape(
+                bs, p.G * p.nv * p.kc, N_LANES
+            )
+            part = lane_scatter(
+                src, e.scatter_starts, e.dest_idx,
+                sk=p.nv * p.kc, k_out=p.wg,
+            )
+            part = jnp.transpose(part, (1, 0, 2, 3))
+            return xx * 0.9999 + part.reshape(bs, p.R, N_LANES) * 1e-9
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    # full residual
+    @jax.jit
+    def chain_r(e, c, x, iters):
         def body(_, xx):
             return xx * 0.9999 + e.residual(xx, c) * 1e-9
+
         return jax.lax.fori_loop(0, iters, body, x)
 
-    slope("full residual   ", c_res, (eng, cc), u0)
+    reps = (64, 1064)
+    tg = slope_time("gather             ", chain_g, (eng32,), u0, reps)
+    tgp = slope_time("gather+physics     ", chain_gp, (eng32, cc), u0, reps)
+    tgps = slope_time("gather+phys+scatter", chain_gps, (eng32, cc), u0, reps)
+    tr = slope_time("full residual      ", chain_r, (eng32, cc), u0, reps)
+    print(
+        f"breakdown: gather {tg*1e3:.2f} | physics {+(tgp-tg)*1e3:.2f} | "
+        f"scatter {(tgps-tgp)*1e3:.2f} | owner+refresh {(tr-tgps)*1e3:.2f} "
+        f"ms", flush=True,
+    )
+    print(f"residual: {ndofs/tr/1e9:.2f} GDoF/s", flush=True)
 
 
 if __name__ == "__main__":

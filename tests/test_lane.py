@@ -215,3 +215,38 @@ def test_lane_solve_matches_flat():
     assert stats["converged"]
     ref = make_newton_solver(asm, cfg)(jnp.zeros(V.n_dofs), coeffs)
     assert np.abs(eng.from_lane(u_l) - np.asarray(ref.u)).max() < 1e-9
+
+
+def test_fused_kernel_matches_unfused():
+    """The fused gather+physics+scatter kernel is the same math as the
+    staged pipeline (same select order, same AD physics)."""
+    F, bcs, V, coeffs, _ = _problem(n=16, law="damage")
+    e_f = LaneEngine(F, bcs, interpret=True, fused=True)
+    e_u = LaneEngine(F, bcs, interpret=True, fused=False)
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    v = rng.normal(size=V.n_dofs)
+    cf = e_f.prepare_coeffs(coeffs)
+    cu = e_u.prepare_coeffs(coeffs)
+    assert "_cd" in cf and "_cd" not in cu
+    rf = np.asarray(e_f.from_lane(e_f.residual(e_f.to_lane(u), cf)))
+    ru = np.asarray(e_u.from_lane(e_u.residual(e_u.to_lane(u), cu)))
+    np.testing.assert_allclose(rf, ru, rtol=0, atol=1e-12 * np.abs(ru).max())
+    tf = np.asarray(e_f.from_lane(
+        e_f.tangent_action(e_f.to_lane(u), cf, e_f.to_lane(v))
+    ))
+    tu = np.asarray(e_u.from_lane(
+        e_u.tangent_action(e_u.to_lane(u), cu, e_u.to_lane(v))
+    ))
+    np.testing.assert_allclose(tf, tu, rtol=0, atol=1e-12 * np.abs(tu).max())
+
+
+def test_fused_kernel_no_coeffs():
+    F, bcs, V, coeffs, _ = _problem(n=12, law="elastic")
+    e_f = LaneEngine(F, bcs, interpret=True, fused=True)
+    e_u = LaneEngine(F, bcs, interpret=True, fused=False)
+    rng = np.random.default_rng(8)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    rf = np.asarray(e_f.from_lane(e_f.residual(e_f.to_lane(u), {})))
+    ru = np.asarray(e_u.from_lane(e_u.residual(e_u.to_lane(u), {})))
+    np.testing.assert_allclose(rf, ru, rtol=0, atol=1e-12 * np.abs(ru).max())

@@ -29,9 +29,15 @@ import numpy as np
 
 from tpufem.config import SolverConfig
 from tpufem.forms.form import EnergyFunctional
-from tpufem.lane.kernels import lane_gather, lane_scatter
+from tpufem.lane.kernels import (lane_fused_elem, lane_gather,
+                                 lane_gather_cm, lane_pass_sum,
+                                 lane_scatter_cm)
 from tpufem.lane.plan import LanePlan, N_LANES, build_lane_plan
 from tpufem.spaces.bc import DirichletBC, combine_bcs
+
+
+def _strip_private(coeff_cells):
+    return {k: v for k, v in coeff_cells.items() if not k.startswith("_")}
 
 
 class LaneEngine:
@@ -43,6 +49,7 @@ class LaneEngine:
         wg_own: int = 16,
         plan: Optional[LanePlan] = None,
         interpret: bool = False,
+        fused: bool = False,
     ):
         space = functional.space
         if space.element.degree < 1:
@@ -74,9 +81,8 @@ class LaneEngine:
         # functional.x_cells, which lives on device: pulling it back
         # through the axon tunnel measured 301 s at 2.1M cells
         x_cells = mesh.x[mesh.cells]  # (nc, nvg, gdim)
-        self.x_lane = jnp.asarray(
-            np.ascontiguousarray(x_cells[safe].transpose(1, 2, 0))
-        )  # (nvg, gdim, M)
+        x_lane_h = np.ascontiguousarray(x_cells[safe].transpose(1, 2, 0))
+        self.x_lane = jnp.asarray(x_lane_h)  # (nvg, gdim, M)
         self._coeff_dofmaps = {
             c.name: c.space.vector_dofmap() for c in functional.coefficients
         }
@@ -89,7 +95,47 @@ class LaneEngine:
         # gradients and weights on host (f64) and unroll every small
         # contraction.
         self.geom_dN = self.geom_w = self.geom_xq = None
+        self._geom_host = None
         self._fast_fn = self._try_specialize_p1()
+        # reduced-variable physics: differentiate w.r.t. the per-cell
+        # gradient components instead of the 6 dofs. The vmapped
+        # dof-level grad makes XLA materialize [M,2,2] eps/sigma
+        # intermediates in T(2,128) layouts at fusion boundaries —
+        # measured 596 bytes/cell of HBM traffic vs ~100 ideal. Here
+        # every interface is a flat (M,) component array and the
+        # B-chain (dof -> gradient components) is applied explicitly.
+        self._red_res = self._red_tan = None
+        if self._fast_fn is not None:
+            self._red_res, self._red_tan = self._make_reduced_fns()
+
+        # fused-kernel static cell data: geometry rows (G, Dg, kc, 128)
+        # streamed block-wise into lane_fused_elem (gather + physics +
+        # scatter in one HBM pass — the per-iteration hot path)
+        self._fused = bool(fused) and self._fast_fn is not None
+        self.fused_geom = None
+        self._elem_grad_block = self._elem_jvp_block = None
+        if self._fused:
+            M = p.G * p.kc * N_LANES
+            dN_h, w_h, xq_h = self._geom_host  # (M,nv,gd), (M,), (M,gd)
+            gd = xq_h.shape[1]
+            rows = np.concatenate(
+                [dN_h.reshape(M, p.nv * gd).T, w_h[None, :], xq_h.T],
+                axis=0,
+            )
+            Dg = rows.shape[0]
+            self.fused_geom = jnp.asarray(
+                np.ascontiguousarray(
+                    rows.reshape(Dg, p.G, p.kc, N_LANES).transpose(1, 0, 2, 3)
+                )
+            )
+            try:
+                self._elem_grad_block, self._elem_jvp_block = (
+                    self._make_block_fns()
+                )
+            except Exception:  # integrand needs real array ops on QP
+                self._fused = False
+                self.fused_geom = None
+        self._geom_host = None
 
         # device plans; index streams in int8 when the window allows —
         # the select kernels are partly index-bandwidth-bound (measured
@@ -99,34 +145,46 @@ class LaneEngine:
             p.gather_idx.astype(idt)
         )  # (G, nv, kc, 128)
         self.gather_starts = jnp.asarray(p.gather_starts)
-        self.dest_idx = jnp.asarray(
-            p.gather_idx.reshape(p.G, p.nv * p.kc, N_LANES).astype(idt)
-        )
-        self.scatter_starts = jnp.asarray(
-            (np.arange(p.G) * p.nv * p.kc).astype(np.int32)
-        )
-        # pass shift lists are static (part of the pytree aux); the
-        # start/idx arrays are leaves so jitted callers get them as
-        # buffer arguments, never baked-in constants
+        # owner/refresh pass plans, stacked so ONE multi-pass kernel
+        # (lane_pass_sum) covers all of them per stage. Shift lists are
+        # static (pytree aux); start/idx arrays are leaves so jitted
+        # callers get them as buffer arguments, never baked-in constants
         G, wg, wg_own_, wg_copy = p.G, p.wg, p.wg_own, p.wg_copy
-        self.owner_shifts = []
-        self._owner_starts = []
-        self._owner_idx = []
-        for (pp, qq, oidx) in p.owner_passes:
-            st = np.clip((np.arange(G) - qq) * wg + wg_own_, 0,
-                         p.R - wg_copy).astype(np.int32)
-            self.owner_shifts.append(pp)
-            self._owner_starts.append(jnp.asarray(st))
-            self._owner_idx.append(jnp.asarray(oidx.astype(idt)))
-        self.refresh_shifts = []
-        self._refresh_starts = []
-        self._refresh_idx = []
-        for (pp, qq, ridx) in p.refresh_passes:
-            st = np.clip((np.arange(G) + qq) * wg, 0,
-                         p.R - wg_own_).astype(np.int32)
-            self.refresh_shifts.append(pp)
-            self._refresh_starts.append(jnp.asarray(st))
-            self._refresh_idx.append(jnp.asarray(ridx.astype(idt)))
+        self.owner_shifts = tuple(
+            int(pp) for (pp, _q, _i) in p.owner_passes
+        )
+        if p.owner_passes:
+            self._owner_starts = jnp.asarray(
+                np.stack([
+                    np.clip((np.arange(G) - qq) * wg + wg_own_, 0,
+                            p.R - wg_copy)
+                    for (_p2, qq, _i) in p.owner_passes
+                ]).astype(np.int32)
+            )  # (P, G)
+            self._owner_idx = jnp.asarray(
+                np.stack([
+                    oidx[:, 0] for (_p2, _q, oidx) in p.owner_passes
+                ]).astype(idt)
+            )  # (P, G, wg_own, 128)
+        else:
+            self._owner_starts = self._owner_idx = None
+        self.refresh_shifts = tuple(
+            int(pp) for (pp, _q, _i) in p.refresh_passes
+        )
+        if p.refresh_passes:
+            self._refresh_starts = jnp.asarray(
+                np.stack([
+                    np.clip((np.arange(G) + qq) * wg, 0, p.R - wg_own_)
+                    for (_p2, qq, _i) in p.refresh_passes
+                ]).astype(np.int32)
+            )  # (P, G)
+            self._refresh_idx = jnp.asarray(
+                np.stack([
+                    ridx[:, 0] for (_p2, _q, ridx) in p.refresh_passes
+                ]).astype(idt)
+            )  # (P, G, wg_copy, 128)
+        else:
+            self._refresh_starts = self._refresh_idx = None
 
         # BCs
         self.bcs = list(bcs)
@@ -216,6 +274,7 @@ class LaneEngine:
         dN = np.concatenate([-Jinv.sum(axis=1, keepdims=True), Jinv], axis=1)
         w = np.abs(detJ) / math.factorial(dim)  # (M,)
         xq = xe.mean(axis=1)  # (M, gdim)
+        self._geom_host = (dN, w, xq)
         self.geom_dN = jnp.asarray(np.ascontiguousarray(dN.transpose(1, 2, 0)))
         self.geom_w = jnp.asarray(w)
         self.geom_xq = jnp.asarray(np.ascontiguousarray(xq.T))
@@ -250,6 +309,261 @@ class LaneEngine:
 
         return energy_fast
 
+    def _make_reduced_fns(self):
+        """Residual / tangent element kernels via reduced-variable AD.
+
+        E(u) = sum_cells w * psi(grad_u, u_q, x_q, coeffs) with grad_u
+        an affine function of the dofs; differentiate w.r.t. the bs*gd
+        gradient components + bs value components (all (M,) arrays,
+        SMat/SVec carry the matrix structure), then chain back to the
+        nd dof rows through the known linear maps. Exact same math as
+        grad of the element energy; layout-clean for XLA."""
+        p = self.plan
+        mesh = self.space.mesh
+        bs = self.bs
+        nv, gd = p.nv, mesh.gdim
+        nd = nv * bs
+        integrand = self.functional.terms[0].integrand
+        coeff_meta = []  # (name, ndofc, cb)
+        for c in self.functional.coefficients:
+            n = self._coeff_dofmaps[c.name].shape[1]
+            cb = c.space.bs
+            coeff_meta.append((c.name, n // cb, cb))
+        nG = bs * gd
+        inv_nv = 1.0 / nv
+
+        from tpufem.forms.form import QP
+        from tpufem.forms.smat import SMat, SVec
+
+        def make_Etot(cvals, xq, w):
+            def Etot(*a):
+                grad_u = SMat(
+                    [[a[c * gd + d] for d in range(gd)]
+                     for c in range(bs)]
+                )
+                uq = a[nG] if bs == 1 else SVec(a[nG : nG + bs])
+                qp = QP(grad_u, uq, SVec([xq[d] for d in range(gd)]),
+                        cvals, {})
+                return jnp.sum(integrand(qp) * w)
+
+            return Etot
+
+        def reduced_args(u_cells, dN):
+            a = []
+            for c in range(bs):
+                for d in range(gd):
+                    acc = None
+                    for v in range(nv):
+                        t = u_cells[v * bs + c] * dN[v, d]
+                        acc = t if acc is None else acc + t
+                    a.append(acc)
+            for c in range(bs):
+                acc = None
+                for v in range(nv):
+                    t = u_cells[v * bs + c]
+                    acc = t if acc is None else acc + t
+                a.append(acc * inv_nv)
+            return tuple(a)
+
+        def cell_cvals(coeffs):
+            cvals = {}
+            for nm, ndofc, cb in coeff_meta:
+                ce = coeffs[nm]  # (ndofc*cb, M)
+                comps = []
+                for j in range(cb):
+                    if ndofc == 1:
+                        comps.append(ce[j])
+                    else:
+                        acc = None
+                        for i in range(ndofc):
+                            t = ce[i * cb + j]
+                            acc = t if acc is None else acc + t
+                        comps.append(acc / ndofc)
+                cvals[nm] = comps[0] if cb == 1 else SVec(comps)
+            return cvals
+
+        argnums = tuple(range(nG + bs))
+
+        def chain_back(g, dN, dtype):
+            rows = []
+            for v in range(nv):
+                for c in range(bs):
+                    acc = g[nG + c] * inv_nv
+                    for d in range(gd):
+                        acc = acc + g[c * gd + d] * dN[v, d]
+                    rows.append(acc)
+            return jnp.stack(rows)
+
+        def red_residual(u_cells, coeffs, dN, w, xq):
+            Etot = make_Etot(cell_cvals(coeffs), xq, w)
+            g = jax.grad(Etot, argnums=argnums)(
+                *reduced_args(u_cells, dN)
+            )
+            return chain_back(g, dN, u_cells.dtype)
+
+        def red_tangent(u_cells, v_cells, coeffs, dN, w, xq):
+            Etot = make_Etot(cell_cvals(coeffs), xq, w)
+            gfn = lambda *a: jax.grad(Etot, argnums=argnums)(*a)
+            dg = jax.jvp(
+                gfn, reduced_args(u_cells, dN),
+                reduced_args(v_cells, dN),
+            )[1]
+            return chain_back(dg, dN, u_cells.dtype)
+
+        # abstract trace check: integrands doing real array ops on the
+        # SMat/SVec fields raise -> caller keeps the vmapped path
+        try:
+            M4 = 4 * N_LANES
+            jax.eval_shape(
+                red_residual,
+                jax.ShapeDtypeStruct((nd, M4), jnp.float32),
+                {nm: jax.ShapeDtypeStruct((ndofc * cb, M4), jnp.float32)
+                 for nm, ndofc, cb in coeff_meta},
+                jax.ShapeDtypeStruct((nv, gd, M4), jnp.float32),
+                jax.ShapeDtypeStruct((M4,), jnp.float32),
+                jax.ShapeDtypeStruct((gd, M4), jnp.float32),
+            )
+        except Exception:
+            return None, None
+        return red_residual, red_tangent
+
+    def _make_block_fns(self):
+        """Block physics closures for the fused kernel: grad / JVP of
+        the per-cell energy, double-vmapped over a (K, 128) tile (traced
+        INTO the Pallas kernel body — Mosaic compiles the AD graph).
+
+        Mosaic cannot lower pads/concats/reshapes on tiny (2,2)-style
+        matrix dims — exactly what jnp-matrix physics (and its indexing
+        adjoints) produce under vmap. So the differentiated state is a
+        TUPLE of scalars and the strain/matrix structure lives in
+        forms.smat.SMat containers of scalars: the whole AD graph is
+        elementwise. Integrands that need real array ops on QP fields
+        raise at trace time here; the caller falls back to the unfused
+        path."""
+        p = self.plan
+        mesh = self.space.mesh
+        bs = self.bs
+        nv, gd = p.nv, mesh.gdim
+        ng = nv * gd
+        nd = nv * bs
+        term = self.functional.terms[0]
+        integrand = term.integrand
+        coeff_meta = []  # (name, offset, ndofc, cb)
+        a = 0
+        for c in self.functional.coefficients:
+            n = self._coeff_dofmaps[c.name].shape[1]
+            cb = c.space.bs
+            coeff_meta.append((c.name, a, n // cb, cb))
+            a += n
+
+        from tpufem.forms.form import QP
+        from tpufem.forms.smat import SMat, SVec
+
+        inv_nv = 1.0 / nv
+
+        def energy_t(u_t, gcol, ccol):
+            # u_t: tuple of nd scalars (dof row v*bs+c); gcol (Dg,);
+            # ccol (Dc,) — forward-only slices, never differentiated
+            grad_rows = []
+            for c in range(bs):
+                row = []
+                for d in range(gd):
+                    acc = None
+                    for v in range(nv):
+                        t = u_t[v * bs + c] * gcol[v * gd + d]
+                        acc = t if acc is None else acc + t
+                    row.append(acc)
+                grad_rows.append(row)
+            grad_u = SMat(grad_rows)
+            uq = []
+            for c in range(bs):
+                acc = None
+                for v in range(nv):
+                    t = u_t[v * bs + c]
+                    acc = t if acc is None else acc + t
+                uq.append(acc * inv_nv)
+            u_q = uq[0] if bs == 1 else SVec(uq)
+            wc = gcol[ng]
+            xqc = SVec([gcol[ng + 1 + d] for d in range(gd)])
+            cvals = {}
+            for nm, off, ndofc, cb in coeff_meta:
+                comps = []
+                for j in range(cb):
+                    if ndofc == 1:
+                        comps.append(ccol[off + j])
+                    else:
+                        acc = None
+                        for i in range(ndofc):
+                            t = ccol[off + i * cb + j]
+                            acc = t if acc is None else acc + t
+                        comps.append(acc / ndofc)
+                cvals[nm] = comps[0] if cb == 1 else SVec(comps)
+            qp = QP(grad_u, u_q, xqc, cvals, {})
+            return integrand(qp) * wc
+
+        g1 = jax.grad(energy_t, argnums=0)
+
+        def v2(f, n_in):
+            ax = (-1,) * n_in
+            return jax.vmap(
+                jax.vmap(f, in_axes=ax, out_axes=-1),
+                in_axes=ax, out_axes=-1,
+            )
+
+        G2 = v2(g1, 3)
+
+        def _ccol(cds):
+            return cds[1] if coeff_meta else jnp.zeros(
+                (0,) + cds[0].shape[1:], cds[0].dtype
+            )
+
+        def elem_grad(u_blocks, cds):
+            (u,) = u_blocks  # (nd, K, L)
+            u_t = tuple(u[i] for i in range(nd))
+            ev = G2(u_t, cds[0], _ccol(cds))
+            return jnp.stack(ev, axis=0)
+
+        def hvp1(u_t, v_t, gcol, ccol):
+            return jax.jvp(
+                lambda w_: g1(w_, gcol, ccol), (u_t,), (v_t,)
+            )[1]
+
+        H2 = v2(hvp1, 4)
+
+        def elem_jvp(u_blocks, cds):
+            u, v = u_blocks
+            u_t = tuple(u[i] for i in range(nd))
+            v_t = tuple(v[i] for i in range(nd))
+            ev = H2(u_t, v_t, cds[0], _ccol(cds))
+            return jnp.stack(ev, axis=0)
+
+        # trace-check now (tiny abstract shapes): integrands that do
+        # real array ops on the SMat/SVec fields raise here and the
+        # engine falls back to the unfused path
+        probe = jax.ShapeDtypeStruct((4, N_LANES), jnp.float32)
+        Dg = ng + 1 + gd
+        jax.eval_shape(
+            elem_grad,
+            (jax.ShapeDtypeStruct((nd, 4, N_LANES), jnp.float32),),
+            (jax.ShapeDtypeStruct((Dg, 4, N_LANES), jnp.float32),
+             jax.ShapeDtypeStruct((max(a, 0), 4, N_LANES), jnp.float32))
+            if coeff_meta else
+            (jax.ShapeDtypeStruct((Dg, 4, N_LANES), jnp.float32),),
+        )
+        del probe
+        return elem_grad, elem_jvp
+
+    def _can_fuse(self, coeff_cells) -> bool:
+        return self._fused and (
+            not self._coeff_dofmaps or "_cd" in coeff_cells
+        )
+
+    def _fused_cds(self, coeff_cells, dtype):
+        cds = (self.fused_geom.astype(dtype),)
+        if self._coeff_dofmaps:
+            cds = cds + (coeff_cells["_cd"].astype(dtype),)
+        return cds
+
     # -- layout ---------------------------------------------------------------
 
     def to_lane(self, u_flat) -> jnp.ndarray:
@@ -261,13 +575,24 @@ class LaneEngine:
     def prepare_coeffs(self, coeffs: Dict[str, jnp.ndarray]):
         """Pre-gather coefficient values per cell in lane-cell order
         (frozen during a solve — the quadrature cache of MFEM/...cc:
-        1317-1324)."""
-        out = {}
+        1317-1324). When the fused kernel is active the dict carries an
+        extra ``_cd`` entry: the coefficient rows re-blocked per bin
+        (G, Dc, kc, 128) for block streaming."""
+        host = {}
         for name, dm in self._coeff_dofmaps.items():
             per_cell = np.asarray(coeffs[name])[dm]  # (nc, ndc)
-            out[name] = jnp.asarray(
-                np.ascontiguousarray(per_cell[self._safe_order].T)
+            host[name] = np.ascontiguousarray(
+                per_cell[self._safe_order].T
             )  # (ndc, M)
+        out = {k: jnp.asarray(v) for k, v in host.items()}
+        if host and self._fused:
+            p = self.plan
+            cdc = np.concatenate(
+                [host[c.name] for c in self.functional.coefficients],
+                axis=0,
+            )
+            cdc = cdc.reshape(-1, p.G, p.kc, N_LANES).transpose(1, 0, 2, 3)
+            out["_cd"] = jnp.asarray(np.ascontiguousarray(cdc))
         return out
 
     # -- movement pieces --------------------------------------------------------
@@ -275,39 +600,37 @@ class LaneEngine:
     def _gather_cells(self, u_lane):
         """(bs, R, 128) -> per-cell dof values (nd, M) cells-minor."""
         p = self.plan
-        g = lane_gather(
+        g = lane_gather_cm(
             u_lane, self.gather_starts, self.gather_idx, wr=p.wg,
-            interpret=self.interpret,
-        )  # (G, bs, nv, kc, 128)
-        # (nd = nv*bs, M = G*kc*128): dof row v*bs+c
-        g = jnp.transpose(g, (2, 1, 0, 3, 4))  # (nv, bs, G, kc, 128)
+            n_ch=p.nv * self.bs, interpret=self.interpret,
+        )  # (nd, G, kc, 128) — dof row v*bs+c, free reshape to (nd, M)
         return g.reshape(p.nv * self.bs, p.G * p.kc * N_LANES)
 
     def _scatter_cells(self, ev):
         """Element vectors (nd, M) -> consistent nodal (bs, R, 128)."""
         p = self.plan
         bs = self.bs
-        e = ev.reshape(p.nv, bs, p.G, p.kc, N_LANES)
-        src = jnp.transpose(e, (1, 2, 0, 3, 4)).reshape(
-            bs, p.G * p.nv * p.kc, N_LANES
-        )
-        part = lane_scatter(
-            src, self.scatter_starts, self.dest_idx,
-            sk=p.nv * p.kc, k_out=p.wg, interpret=self.interpret,
-        )  # (G, bs, wg, 128)
-        part = jnp.transpose(part, (1, 0, 2, 3))  # (bs, G, wg, 128)
-        # owner-sum: add copy partials into home slots
+        src = ev.reshape(p.nv * bs, p.G, p.kc, N_LANES)  # free view
+        part = lane_scatter_cm(
+            src, self.gather_idx, k_out=p.wg, n_ch=bs,
+            interpret=self.interpret,
+        )  # (bs, G, wg, 128)
+        return self._owner_refresh(part)
+
+    def _owner_refresh(self, part):
+        """Bin partials (bs, G, wg, 128) -> consistent nodal state:
+        owner-sum the copy partials, then refresh copy slots. Both
+        stages run as ONE multi-pass kernel each (lane_pass_sum)."""
+        p = self.plan
+        bs = part.shape[0]
         flat = part.reshape(bs, p.R, N_LANES)
-        extra = jnp.zeros((bs, p.G, p.wg_own, N_LANES), flat.dtype)
-        for pp, st, oidx in zip(self.owner_shifts, self._owner_starts,
-                                self._owner_idx):
-            rolled = jnp.roll(flat, pp, axis=-1)
-            add = lane_gather(
-                rolled, st, oidx, wr=p.wg_copy, sum_v=True,
+        if self._owner_idx is not None:
+            extra = lane_pass_sum(
+                flat, self._owner_starts, self._owner_idx,
+                wr=p.wg_copy, shifts=self.owner_shifts,
                 interpret=self.interpret,
-            )  # (G, bs, wg_own, 128)
-            extra = extra + jnp.transpose(add, (1, 0, 2, 3))
-        part = part.at[:, :, : p.wg_own, :].add(extra)
+            )  # (bs, G, wg_own, 128)
+            part = part.at[:, :, : p.wg_own, :].add(extra)
         total = part.reshape(bs, p.R, N_LANES)
         return self.refresh_copies(total)
 
@@ -317,17 +640,13 @@ class LaneEngine:
         update changes home-slot values (lane.sharded)."""
         p = self.plan
         bs = total.shape[0]
-        if self.refresh_shifts:
-            ref = jnp.zeros((bs, p.G, p.wg_copy, N_LANES), total.dtype)
-            for pp, st, ridx in zip(self.refresh_shifts,
-                                    self._refresh_starts,
-                                    self._refresh_idx):
-                rolled = jnp.roll(total, -pp, axis=-1)
-                upd = lane_gather(
-                    rolled, st, ridx, wr=p.wg_own, sum_v=True,
-                    interpret=self.interpret,
-                )  # (G, bs, wg_copy, 128)
-                ref = ref + jnp.transpose(upd, (1, 0, 2, 3))
+        if self._refresh_idx is not None:
+            ref = lane_pass_sum(
+                total, self._refresh_starts, self._refresh_idx,
+                wr=p.wg_own,
+                shifts=tuple(-s for s in self.refresh_shifts),
+                interpret=self.interpret,
+            )  # (bs, G, wg_copy, 128)
             t4 = total.reshape(bs, p.G, p.wg, N_LANES)
             t4 = t4.at[:, :, p.wg_own :, :].set(ref)
             total = t4.reshape(bs, p.R, N_LANES)
@@ -345,22 +664,64 @@ class LaneEngine:
         return self._energy_fn, self.x_lane.astype(dtype), (-1,)
 
     def residual(self, u_lane, coeff_cells) -> jnp.ndarray:
+        if self._can_fuse(coeff_cells):
+            p = self.plan
+            part = lane_fused_elem(
+                (u_lane,), self.gather_starts, self.gather_idx,
+                self._fused_cds(coeff_cells, u_lane.dtype),
+                self._elem_grad_block, wr=p.wg, nv=p.nv,
+                interpret=self.interpret,
+            )  # (G, bs, wg, 128)
+            return self._owner_refresh(jnp.transpose(part, (1, 0, 2, 3)))
+        cc = _strip_private(coeff_cells)
         u_cells = self._gather_cells(u_lane)
+        if self._red_res is not None:
+            dt = u_lane.dtype
+            ev = self._red_res(
+                u_cells, cc, self.geom_dN.astype(dt),
+                self.geom_w.astype(dt), self.geom_xq.astype(dt),
+            )
+            return self._scatter_cells(ev)
         fn, xarg, xax = self._elem_args(u_lane.dtype)
         g = jax.vmap(jax.grad(fn), in_axes=(-1,) + xax + (-1,),
                      out_axes=-1)
-        ev = g(u_cells, xarg, coeff_cells)
+        ev = g(u_cells, xarg, cc)
         return self._scatter_cells(ev)
 
     def tangent_action(self, u_lane, coeff_cells, v_lane) -> jnp.ndarray:
         """J(u) v — element-level JVP between the (linear) movements."""
+        if self._can_fuse(coeff_cells):
+            p = self.plan
+            part = lane_fused_elem(
+                (u_lane, v_lane), self.gather_starts, self.gather_idx,
+                self._fused_cds(coeff_cells, v_lane.dtype),
+                self._elem_jvp_block, wr=p.wg, nv=p.nv,
+                interpret=self.interpret,
+            )
+            return self._owner_refresh(jnp.transpose(part, (1, 0, 2, 3)))
         u_cells = self._gather_cells(u_lane)
         return self.tangent_from_cells(u_cells, coeff_cells, v_lane)
+
+    def make_tangent(self, u_lane, coeff_cells):
+        """v -> J(u) v closure for a frozen linearization state, picking
+        the best path (fused kernel, or hoisted-gather + element JVP)."""
+        if self._can_fuse(coeff_cells):
+            return lambda v: self.tangent_action(u_lane, coeff_cells, v)
+        u_cells = self._gather_cells(u_lane)
+        return lambda v: self.tangent_from_cells(u_cells, coeff_cells, v)
 
     def tangent_from_cells(self, u_cells, coeff_cells, v_lane) -> jnp.ndarray:
         """J(u) v with the linearization state already gathered — in CG
         the gather of the (frozen) u is hoisted out of the iteration."""
+        cc = _strip_private(coeff_cells)
         v_cells = self._gather_cells(v_lane)
+        if self._red_tan is not None:
+            dt = v_lane.dtype
+            ev = self._red_tan(
+                u_cells, v_cells, cc, self.geom_dN.astype(dt),
+                self.geom_w.astype(dt), self.geom_xq.astype(dt),
+            )
+            return self._scatter_cells(ev)
         fn, xarg, xax = self._elem_args(v_lane.dtype)
 
         def hvp(ue, ve, xe, ce):
@@ -369,17 +730,18 @@ class LaneEngine:
             )[1]
 
         ev = jax.vmap(hvp, in_axes=(-1, -1) + xax + (-1,), out_axes=-1)(
-            u_cells, v_cells, xarg, coeff_cells
+            u_cells, v_cells, xarg, cc
         )
         return self._scatter_cells(ev)
 
     def diagonal(self, u_lane, coeff_cells) -> jnp.ndarray:
         """Jacobian diagonal (Jacobi PC) in lane layout."""
+        cc = _strip_private(coeff_cells)
         u_cells = self._gather_cells(u_lane)
         fn, xarg, xax = self._elem_args(u_lane.dtype)
         h = jax.vmap(jax.hessian(fn), in_axes=(-1,) + xax + (-1,),
                      out_axes=-1)
-        em = h(u_cells, xarg, coeff_cells)
+        em = h(u_cells, xarg, cc)
         ed = jnp.diagonal(em, axis1=0, axis2=1).T  # (nd, M)
         return self._scatter_cells(ed)
 
@@ -421,10 +783,15 @@ class LaneEngine:
         @functools.partial(jax.jit, static_argnums=(0,))
         def cg_chunk_fn(nsteps, eng, u_lin, coeffs, free, dinv, tl_data,
                         state):
-            u_cells = eng._gather_cells(u_lin)  # hoisted (frozen during CG)
+            if use_tl:
+                # twolevel preconditions with the hoisted cell state
+                u_cells = eng._gather_cells(u_lin)
+                Araw = lambda v: eng.tangent_from_cells(u_cells, coeffs, v)
+            else:
+                Araw = eng.make_tangent(u_lin, coeffs)
 
             def A(v):
-                av = eng.tangent_from_cells(u_cells, coeffs, v * free)
+                av = Araw(v * free)
                 return av * free + v * (1.0 - free)
 
             def M(r):
@@ -553,10 +920,10 @@ from tpufem.utils.pytree import register_pytree_with_leaves
 
 # every device-array field (lane.sharded stacks these across devices)
 LANE_LEAF_FIELDS = (
-    "x_lane", "gather_idx", "gather_starts", "dest_idx",
-    "scatter_starts", "_owner_starts", "_owner_idx",
+    "x_lane", "gather_idx", "gather_starts",
+    "_owner_starts", "_owner_idx",
     "_refresh_starts", "_refresh_idx", "free_lane", "bc_lane",
-    "owned_w", "geom_dN", "geom_w", "geom_xq",
+    "owned_w", "geom_dN", "geom_w", "geom_xq", "fused_geom",
 )
 
 register_pytree_with_leaves(LaneEngine, list(LANE_LEAF_FIELDS))

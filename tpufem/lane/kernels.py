@@ -160,6 +160,292 @@ def lane_scatter(src, starts, dest_idx, *, sk: int, k_out: int,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("wr", "n_ch", "interpret"),
+)
+def lane_gather_cm(values, starts, idx, *, wr: int, n_ch: int,
+                   interpret: bool = False):
+    """Cells-minor windowed gather: like :func:`lane_gather` but the
+    output is laid out (V*C, T, K, 128) with dof row v*C+c leading, so
+    the (nd, M) cells-minor view the physics vmaps over is a FREE
+    reshape (lane_gather's (T, C, V, K, 128) layout needs a ~50 MB HBM
+    transpose at 2M cells)."""
+    C, R, L = values.shape
+    T, V, K, _ = idx.shape
+    assert n_ch == C * V
+
+    def kern(start_ref, idx_ref, v_hbm, o_ref, win, sem):
+        t = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            v_hbm.at[:, pl.ds(start_ref[t], wr), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+        ids = idx_ref[0].astype(jnp.int32)  # (V, K, L)
+        w = win[:]
+        for v in range(V):
+            for c in range(C):
+                acc = jnp.zeros((K, L), values.dtype)
+                for r in range(wr):
+                    acc = acc + jnp.where(
+                        ids[v] == r, w[c, r : r + 1, :], 0.0
+                    )
+                o_ref[v * C + c, 0] = acc
+
+    return pl.pallas_call(
+        kern,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((V * C, T, K, L), values.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, V, K, L), lambda t, s: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (V * C, 1, K, L), lambda t, s: (0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((C, wr, L), values.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+    )(starts, idx, values)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_out", "n_ch", "interpret"),
+)
+def lane_scatter_cm(src, idx, *, k_out: int, n_ch: int,
+                    interpret: bool = False):
+    """Cells-minor bin scatter: src (V*C, T, K, 128) element vectors
+    (dof row v*C+c — the layout the physics writes), idx = the SAME
+    (T, V, K, 128) gather table. Returns bin partials (C, T, k_out, 128)
+    (channel-leading, so the owner/refresh stage needs no transpose):
+      out[c,t,r,j] = sum_{v,k: idx[t,v,k,j]==r} src[v*C+c, t, k, j]
+    """
+    ND, T, K, L = src.shape
+    _, V, _, _ = idx.shape
+    C = ND // V
+    assert n_ch == C
+
+    def kern(idx_ref, src_ref, o_ref):
+        ids = idx_ref[0].astype(jnp.int32)  # (V, K, L)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (k_out, L), 0)
+        for c in range(C):
+            acc = jnp.zeros((k_out, L), src.dtype)
+            for v in range(V):
+                sv = src_ref[v * C + c, 0]  # (K, L)
+                for k in range(K):
+                    acc = acc + jnp.where(
+                        iota == ids[v, k : k + 1, :], sv[k : k + 1, :], 0.0
+                    )
+            o_ref[c, 0] = acc
+
+    return pl.pallas_call(
+        kern,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((C, T, k_out, L), src.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, V, K, L), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ND, 1, K, L), lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, 1, k_out, L), lambda t: (0, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(idx, src)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wr", "shifts", "interpret"),
+)
+def lane_pass_sum(values, starts, idx, *, wr: int, shifts,
+                  interpret: bool = False):
+    """All owner-sum (or refresh) passes in ONE kernel:
+
+      out[c,t,k,j] = sum_p sum_r (idx[p,t,k,j]==r)
+                     * values[c, starts[p,t]+r, (j - shifts[p]) mod 128]
+
+    values (C, R, 128); starts (P, T) int32; idx (P, T, K, 128) in
+    [-1, wr); shifts: static tuple of P lane shifts. Replaces P
+    separate (full-state jnp.roll + windowed gather) rounds: the per-
+    pass window DMAs overlap and the lane shift happens in-register on
+    the window block (pltpu.roll) instead of rolling 17 MB of state in
+    HBM per pass."""
+    C, R, L = values.shape
+    P, T, K, _ = idx.shape
+    assert len(shifts) == P
+
+    def kern(start_ref, idx_ref, v_hbm, o_ref, win, sems):
+        t = pl.program_id(0)
+        dmas = [
+            pltpu.make_async_copy(
+                v_hbm.at[:, pl.ds(start_ref[p, t], wr), :],
+                win.at[p], sems.at[p],
+            )
+            for p in range(P)
+        ]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+        ids = idx_ref[:, 0].astype(jnp.int32)  # (P, K, L)
+        for c in range(C):
+            acc = jnp.zeros((K, L), values.dtype)
+            for p in range(P):
+                w = win[p, c]  # (wr, L)
+                if shifts[p] % L:
+                    # pltpu.roll needs a non-negative shift; cyclic over
+                    # the 128 lanes so mod is exact
+                    w = pltpu.roll(w, shifts[p] % L, 1)
+                for r in range(wr):
+                    acc = acc + jnp.where(
+                        ids[p] == r, w[r : r + 1, :], 0.0
+                    )
+            o_ref[c, 0] = acc
+
+    return pl.pallas_call(
+        kern,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((C, T, K, L), values.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((P, 1, K, L), lambda t, s: (0, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (C, 1, K, L), lambda t, s: (0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((P, C, wr, L), values.dtype),
+                pltpu.SemaphoreType.DMA((P,)),
+            ],
+        ),
+    )(starts, idx, values)
+
+
+def lane_fused_elem(values, starts, idx, cell_data, elem_fn, *,
+                    wr: int, nv: int, interpret: bool = False):
+    """Fused gather -> element function -> bin scatter (ONE HBM pass).
+
+    The per-iteration hot path of unstructured assembly: the unfused
+    pipeline writes the gathered per-cell dofs (nd, M) and the element
+    vectors (nd, M) to HBM and relayouts both (~200 MB round trips at
+    2M cells); here everything between the solution window and the bin
+    partials stays in VMEM.
+
+    values: tuple of state arrays, each (C, R, 128) (one for residual,
+      (u, v) for the tangent action). All share ``starts``/``idx``.
+    starts (T,) int32 window row starts; idx (T, nv, K, 128) in [-1, wr).
+    cell_data: tuple of (T, D_i, K, 128) per-cell row blocks (static
+      geometry, runtime coefficients) streamed via the grid pipeline.
+    elem_fn(u_blocks, cds) with u_blocks a tuple of (nv*C, K, 128)
+      arrays and cds the tuple of (D_i, K, 128) blocks, returning the
+      element vectors (nv*C, K, 128) (vmapped physics — traced INTO the
+      kernel).
+
+    Returns (T, C, wr, 128) bin partials:
+      out[t,c,r,j] = sum_{v,k: idx[t,v,k,j]==r} ev[v*C+c, k, j]
+    """
+    n_states = len(values)
+    n_cd = len(cell_data)
+    C, R, L = values[0].shape
+    T, NV, K, _ = idx.shape
+    assert NV == nv
+
+    def kern(start_ref, idx_ref, *refs):
+        cd_refs = refs[:n_cd]
+        v_hbms = refs[n_cd : n_cd + n_states]
+        o_ref = refs[n_cd + n_states]
+        wins = refs[n_cd + n_states + 1 : n_cd + 2 * n_states + 1]
+        sems = refs[n_cd + 2 * n_states + 1 :]
+        t = pl.program_id(0)
+        s = start_ref[t]
+        dmas = [
+            pltpu.make_async_copy(h.at[:, pl.ds(s, wr), :], w, sm)
+            for h, w, sm in zip(v_hbms, wins, sems)
+        ]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+        ids = idx_ref[0].astype(jnp.int32)  # (nv, K, L)
+        dt = values[0].dtype
+        u_blocks = []
+        for w in wins:
+            ww = w[:]
+            rows = []
+            for v in range(nv):
+                for c in range(C):
+                    acc = jnp.zeros((K, L), dt)
+                    for r in range(wr):
+                        acc = acc + jnp.where(
+                            ids[v] == r, ww[c, r : r + 1, :], 0.0
+                        )
+                    rows.append(acc)
+            u_blocks.append(jnp.stack(rows))  # (nv*C, K, L)
+        ev = elem_fn(
+            tuple(u_blocks), tuple(cd[0] for cd in cd_refs)
+        )  # (nv*C, K, L), row v*C+c
+        # scatter: per output channel c, accumulate rows
+        iota = jax.lax.broadcasted_iota(jnp.int32, (wr, L), 0)
+        ids_flat = ids.reshape(nv * K, L)
+        for c in range(C):
+            acc = jnp.zeros((wr, L), dt)
+            evf = ev.reshape(nv, C, K, L)[:, c].reshape(nv * K, L)
+            for r in range(nv * K):
+                acc = acc + jnp.where(
+                    iota == ids_flat[r : r + 1, :], evf[r : r + 1, :], 0.0
+                )
+            o_ref[0, c] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, NV, K, L), lambda t, s: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1,) + cd.shape[1:], lambda t, s: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for cd in cell_data
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_states,
+        out_specs=pl.BlockSpec(
+            (1, C, wr, L), lambda t, s: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C, wr, L), values[0].dtype)
+            for _ in range(n_states)
+        ] + [pltpu.SemaphoreType.DMA(()) for _ in range(n_states)],
+    )
+    return pl.pallas_call(
+        kern,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((T, C, wr, L), values[0].dtype),
+        grid_spec=grid_spec,
+        # the unrolled physics+select graph carries many live (K, L)
+        # temporaries; the 16M default scoped-vmem stack is too small
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(starts, idx, *cell_data, *values)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("wr", "interpret"),
 )
 def lane_gather_weighted(values, starts, idx, wts, *, wr: int,

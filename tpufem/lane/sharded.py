@@ -416,8 +416,7 @@ class ShardedLaneEngine:
             leaves, u, coeffs = _index0((leaves, u, coeffs))
             send, recvp, free, v = _index0((send, recvp, free, v))
             eng = self._local_engine(leaves)
-            u_cells = eng._gather_cells(u)
-            av = eng.tangent_from_cells(u_cells, coeffs, v * free)
+            av = eng.make_tangent(u, coeffs)(v * free)
             av = cross_sum(eng, av, send, recvp)
             av = av * free + v * (1.0 - free)
             return av[None]
@@ -435,10 +434,10 @@ class ShardedLaneEngine:
             send, recvp, free, dinv = _index0((send, recvp, free, dinv))
             state = _index0(state)
             eng = self._local_engine(leaves)
-            u_cells = eng._gather_cells(u)  # frozen linearization state
+            Araw = eng.make_tangent(u, coeffs)  # frozen linearization
 
             def A(v):
-                av = eng.tangent_from_cells(u_cells, coeffs, v * free)
+                av = Araw(v * free)
                 av = cross_sum(eng, av, send, recvp)
                 return av * free + v * (1.0 - free)
 
