@@ -1,0 +1,89 @@
+"""3D unstructured lane-engine benchmark: P1 tetrahedra at ~2M DoF,
+linear elasticity (pulled bar), residual + tangent + Jacobi-CG step.
+
+Exercises the 3D lane plan (4-node simplices, gdim 3) at scale — the
+reduced-variable physics and windowed kernels are dimension-generic.
+
+Usage: python benchmarks/lane3d_bench.py [n=87]
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.lane_bench import slope_time
+
+
+def main():
+    from tpufem.forms import EnergyFunctional, linear_elastic_psi
+    from tpufem.forms.form import Term
+    from tpufem.lane import LaneEngine
+    from tpufem.mesh import box
+    from tpufem.mesh.mesh import CellType
+    from tpufem.spaces import DirichletBC, FunctionSpace
+    from tpufem.spaces.bc import locate_dofs_geometrical
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 87
+    E, NU = 1.0e6, 0.3
+    t0 = time.time()
+    mesh = box(n, n, n, cell_type=CellType.tetra)
+    V = FunctionSpace.create(mesh, 1, bs=3)
+    ndofs = V.n_dofs
+    t = Term(lambda qp: linear_elastic_psi(qp.eps, E, NU), 1)
+    F = EnergyFunctional(V, [t])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    right = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0] - 1) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0, 0.0]),
+           DirichletBC(V, right, [0.01, 0.0, 0.0])]
+    print(f"mesh+space: {time.time()-t0:.1f}s "
+          f"({ndofs/1e6:.2f}M dofs, {mesh.n_cells/1e6:.2f}M tets)",
+          flush=True)
+    t0 = time.time()
+    eng = LaneEngine(F, bcs)
+    p = eng.plan
+    print(f"plan: {time.time()-t0:.1f}s G={p.G} wg={p.wg} kc={p.kc} "
+          f"copies={len(p.copy_dst_rows)/p.n_nodes:.2f}x "
+          f"passes={len(eng.owner_shifts)} "
+          f"reduced={'yes' if eng._red_res is not None else 'no'}",
+          flush=True)
+
+    dtype = jnp.float32
+    eng32 = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float64 else a, eng
+    )
+    u0 = eng32.bc_lane.astype(dtype)
+    cc = {}
+
+    @jax.jit
+    def chain_r(e, x, iters):
+        def body(_, xx):
+            return xx * 0.9999 + e.residual(xx, cc) * 1e-9
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    @jax.jit
+    def chain_t(e, ul, x, iters):
+        ucells = e._gather_cells(ul)
+
+        def body(_, xx):
+            return xx * 0.9999 + e.tangent_from_cells(ucells, cc, xx) * 1e-9
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    reps = (64, 1064)
+    pr = slope_time("3D lane residual", chain_r, (eng32,), u0, reps)
+    print(f"  -> {ndofs/pr/1e9:.2f} GDoF/s residual", flush=True)
+    pt = slope_time("3D lane tangent ", chain_t, (eng32, u0), u0, reps)
+    print(f"  -> {ndofs/pt/1e9:.2f} GDoF/s tangent (CG-hoisted)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

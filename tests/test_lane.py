@@ -250,3 +250,43 @@ def test_fused_kernel_no_coeffs():
     rf = np.asarray(e_f.from_lane(e_f.residual(e_f.to_lane(u), {})))
     ru = np.asarray(e_u.from_lane(e_u.residual(e_u.to_lane(u), {})))
     np.testing.assert_allclose(rf, ru, rtol=0, atol=1e-12 * np.abs(ru).max())
+
+
+def test_jittered_mesh_with_tail_matches_assembler():
+    """Jittered-Delaunay mesh: the rare-copy tail path (flat XLA
+    gather/scatter for (p,q) combos below pass_min_frac) must agree
+    with the flat Assembler."""
+    from tpufem.cases.polycrystal import generate_polycrystal
+
+    mesh = generate_polycrystal(32, n_grains=12)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = np.zeros(DS.n_dofs)
+    d[(DS.dof_coords[:, 1] > 0.4) & (DS.dof_coords[:, 1] < 0.6)] = 0.7
+    t = Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), E, NU), 1)
+    F = EnergyFunctional(V, [t], [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    # large pass_min_frac forces a sizeable tail on this small mesh
+    plan = build_lane_plan(V.dof_coords, np.asarray(V.dofmap),
+                           pass_min_frac=0.05)
+    eng = LaneEngine(F, bcs, interpret=True, plan=plan)
+    assert eng._tail_copy is not None, "plan should produce a tail"
+    asm = Assembler(F, bcs)
+    rng = np.random.default_rng(5)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    v = rng.normal(size=V.n_dofs)
+    coeffs = {"d": jnp.asarray(d)}
+    cc = eng.prepare_coeffs(coeffs)
+    r_lane = np.asarray(eng.from_lane(eng.residual(eng.to_lane(u), cc)))
+    r_flat = np.asarray(asm.residual(jnp.asarray(u), coeffs))
+    np.testing.assert_allclose(
+        r_lane, r_flat, rtol=0, atol=1e-10 * np.abs(r_flat).max()
+    )
+    t_lane = np.asarray(eng.from_lane(
+        eng.tangent_action(eng.to_lane(u), cc, eng.to_lane(v))
+    ))
+    t_flat = np.asarray(asm.tangent_action(jnp.asarray(u), coeffs, jnp.asarray(v)))
+    np.testing.assert_allclose(
+        t_lane, t_flat, rtol=0, atol=1e-10 * np.abs(t_flat).max()
+    )

@@ -23,10 +23,22 @@ def lame_parameters(E, nu):
 
 
 def linear_elastic_psi(eps, E, nu):
-    """Isotropic linear elasticity: ψ = λ/2 tr(ε)² + μ ε:ε."""
+    """Isotropic linear elasticity: ψ = λ/2 tr(ε)² + μ ε:ε.
+
+    Written with index arithmetic (no jnp.trace/sum on the matrix) so
+    it accepts both jnp arrays and the forms.smat.SMat scalar
+    containers the lane engine's reduced/fused physics paths use."""
     lam, mu = lame_parameters(E, nu)
-    tr = jnp.trace(eps)
-    return 0.5 * lam * tr * tr + mu * jnp.sum(eps * eps)
+    n = eps.shape[0]
+    tr = eps[0, 0]
+    for i in range(1, n):
+        tr = tr + eps[i, i]
+    frob = None
+    for i in range(n):
+        for j in range(n):
+            t = eps[i, j] * eps[i, j]
+            frob = t if frob is None else frob + t
+    return 0.5 * lam * tr * tr + mu * frob
 
 
 def asym_damage_psi(eps, d, E, nu):

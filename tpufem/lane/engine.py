@@ -30,7 +30,7 @@ import numpy as np
 from tpufem.config import SolverConfig
 from tpufem.forms.form import EnergyFunctional
 from tpufem.lane.kernels import (lane_fused_elem, lane_gather,
-                                 lane_gather_cm, lane_pass_sum,
+                                 lane_gather_cm, lane_pass_update,
                                  lane_scatter_cm)
 from tpufem.lane.plan import LanePlan, N_LANES, build_lane_plan
 from tpufem.spaces.bc import DirichletBC, combine_bcs
@@ -46,7 +46,7 @@ class LaneEngine:
         functional: EnergyFunctional,
         bcs: Sequence[DirichletBC] = (),
         *,
-        wg_own: int = 16,
+        wg_own: int = 32,
         plan: Optional[LanePlan] = None,
         interpret: bool = False,
         fused: bool = False,
@@ -185,6 +185,17 @@ class LaneEngine:
             )  # (P, G, wg_copy, 128)
         else:
             self._refresh_starts = self._refresh_idx = None
+        # rare-copy tail: flat slot pairs handled by XLA gather/scatter
+        # (see plan.py pass_min_frac); -1 entries are sharded padding
+        if p.tail_copy_slot is not None and len(p.tail_copy_slot):
+            self._tail_copy = jnp.asarray(
+                p.tail_copy_slot.astype(np.int32)
+            )
+            self._tail_owner = jnp.asarray(
+                p.tail_owner_slot.astype(np.int32)
+            )
+        else:
+            self._tail_copy = self._tail_owner = None
 
         # BCs
         self.bcs = list(bcs)
@@ -252,24 +263,25 @@ class LaneEngine:
             Jinv[:, 1, 0] = -c * r
             Jinv[:, 1, 1] = a * r
         else:
+            # NOTE: do not shadow outer names (``f`` is the functional)
             a, b, c = J[:, 0, 0], J[:, 0, 1], J[:, 0, 2]
-            d3, e, f = J[:, 1, 0], J[:, 1, 1], J[:, 1, 2]
+            d3, e3, f3 = J[:, 1, 0], J[:, 1, 1], J[:, 1, 2]
             g, h, i = J[:, 2, 0], J[:, 2, 1], J[:, 2, 2]
-            A = e * i - f * h
-            B = f * g - d3 * i
-            C = d3 * h - e * g
+            A = e3 * i - f3 * h
+            B = f3 * g - d3 * i
+            C = d3 * h - e3 * g
             detJ = a * A + b * B + c * C
             r = 1.0 / detJ
             Jinv = np.empty_like(J)
             Jinv[:, 0, 0] = A * r
             Jinv[:, 0, 1] = (c * h - b * i) * r
-            Jinv[:, 0, 2] = (b * f - c * e) * r
+            Jinv[:, 0, 2] = (b * f3 - c * e3) * r
             Jinv[:, 1, 0] = B * r
             Jinv[:, 1, 1] = (a * i - c * g) * r
-            Jinv[:, 1, 2] = (c * d3 - a * f) * r
+            Jinv[:, 1, 2] = (c * d3 - a * f3) * r
             Jinv[:, 2, 0] = C * r
             Jinv[:, 2, 1] = (b * g - a * h) * r
-            Jinv[:, 2, 2] = (a * e - b * d3) * r
+            Jinv[:, 2, 2] = (a * e3 - b * d3) * r
         # dN_ref = [-1...; eye] -> dN[v=0] = -sum_d Jinv[d], dN[v>0] = Jinv[v-1]
         dN = np.concatenate([-Jinv.sum(axis=1, keepdims=True), Jinv], axis=1)
         w = np.abs(detJ) / math.factorial(dim)  # (M,)
@@ -625,14 +637,25 @@ class LaneEngine:
         bs = part.shape[0]
         flat = part.reshape(bs, p.R, N_LANES)
         if self._owner_idx is not None:
-            extra = lane_pass_sum(
+            flat = lane_pass_update(
                 flat, self._owner_starts, self._owner_idx,
-                wr=p.wg_copy, shifts=self.owner_shifts,
-                interpret=self.interpret,
-            )  # (bs, G, wg_own, 128)
-            part = part.at[:, :, : p.wg_own, :].add(extra)
-        total = part.reshape(bs, p.R, N_LANES)
-        return self.refresh_copies(total)
+                wr=p.wg_copy, wg=p.wg, shifts=self.owner_shifts,
+                head=True, interpret=self.interpret,
+            ).reshape(bs, p.R, N_LANES)
+        if self._tail_copy is not None:
+            # tail owner-sum: copy partials (untouched by the dense
+            # kernel) added into their owner slots
+            FL = p.R * N_LANES
+            f2 = flat.reshape(bs, FL)
+            safe = jnp.where(self._tail_copy >= 0, self._tail_copy, 0)
+            vals = jnp.take(f2, safe, axis=1) * (self._tail_copy >= 0)
+            tgt = jnp.where(self._tail_owner >= 0, self._tail_owner, FL)
+            ext = jnp.concatenate(
+                [f2, jnp.zeros((bs, 1), f2.dtype)], axis=1
+            )
+            ext = ext.at[:, tgt].add(vals)
+            flat = ext[:, :FL].reshape(bs, p.R, N_LANES)
+        return self.refresh_copies(flat)
 
     def refresh_copies(self, total):
         """Overwrite copy slots with home-slot totals (scatter_fwd within
@@ -641,15 +664,25 @@ class LaneEngine:
         p = self.plan
         bs = total.shape[0]
         if self._refresh_idx is not None:
-            ref = lane_pass_sum(
+            total = lane_pass_update(
                 total, self._refresh_starts, self._refresh_idx,
-                wr=p.wg_own,
+                wr=p.wg_own, wg=p.wg,
                 shifts=tuple(-s for s in self.refresh_shifts),
-                interpret=self.interpret,
-            )  # (bs, G, wg_copy, 128)
-            t4 = total.reshape(bs, p.G, p.wg, N_LANES)
-            t4 = t4.at[:, :, p.wg_own :, :].set(ref)
-            total = t4.reshape(bs, p.R, N_LANES)
+                head=False, interpret=self.interpret,
+            ).reshape(bs, p.R, N_LANES)
+        if self._tail_copy is not None:
+            # tail refresh: copy slots (zeroed by the dense kernel's
+            # full-tail write) set from their owner slots
+            FL = p.R * N_LANES
+            f2 = total.reshape(bs, FL)
+            safe = jnp.where(self._tail_owner >= 0, self._tail_owner, 0)
+            vals = jnp.take(f2, safe, axis=1)
+            tgt = jnp.where(self._tail_copy >= 0, self._tail_copy, FL)
+            ext = jnp.concatenate(
+                [f2, jnp.zeros((bs, 1), f2.dtype)], axis=1
+            )
+            ext = ext.at[:, tgt].set(vals)
+            total = ext[:, :FL].reshape(bs, p.R, N_LANES)
         return total
 
     # -- assembled quantities ------------------------------------------------------
@@ -922,7 +955,8 @@ from tpufem.utils.pytree import register_pytree_with_leaves
 LANE_LEAF_FIELDS = (
     "x_lane", "gather_idx", "gather_starts",
     "_owner_starts", "_owner_idx",
-    "_refresh_starts", "_refresh_idx", "free_lane", "bc_lane",
+    "_refresh_starts", "_refresh_idx", "_tail_copy", "_tail_owner",
+    "free_lane", "bc_lane",
     "owned_w", "geom_dN", "geom_w", "geom_xq", "fused_geom",
 )
 

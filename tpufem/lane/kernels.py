@@ -265,26 +265,31 @@ def lane_scatter_cm(src, idx, *, k_out: int, n_ch: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wr", "shifts", "interpret"),
+    static_argnames=("wr", "wg", "shifts", "head", "interpret"),
 )
-def lane_pass_sum(values, starts, idx, *, wr: int, shifts,
-                  interpret: bool = False):
-    """All owner-sum (or refresh) passes in ONE kernel:
+def lane_pass_update(values, starts, idx, *, wr: int, wg: int, shifts,
+                     head: bool, interpret: bool = False):
+    """All owner-sum (resp. refresh) passes in ONE kernel, fused with
+    the bin-block update. Per pass p and bin t:
 
-      out[c,t,k,j] = sum_p sum_r (idx[p,t,k,j]==r)
-                     * values[c, starts[p,t]+r, (j - shifts[p]) mod 128]
+      acc[c,k,j] = sum_p sum_r (idx[p,t,k,j]==r)
+                   * values[c, starts[p,t]+r, (j - shifts[p]) mod 128]
 
-    values (C, R, 128); starts (P, T) int32; idx (P, T, K, 128) in
-    [-1, wr); shifts: static tuple of P lane shifts. Replaces P
-    separate (full-state jnp.roll + windowed gather) rounds: the per-
-    pass window DMAs overlap and the lane shift happens in-register on
-    the window block (pltpu.roll) instead of rolling 17 MB of state in
-    HBM per pass."""
+    and the output is the per-bin block of ``values`` updated in place:
+    ``head=True`` (owner-sum) ADDS acc into the first K rows of each wg
+    window; ``head=False`` (refresh) SETS the last K rows to acc.
+
+    values (C, R=T*wg, 128); starts (P, T) int32; idx (P, T, K, 128) in
+    [-1, wr); shifts: static tuple of P lane shifts. Returns
+    (C, T, wg, 128) — reshape to (C, R, 128) is free. Replaces P
+    separate (full-state jnp.roll + windowed gather) rounds plus a
+    full-state .at[].add/.set: window DMAs overlap, the lane shift is
+    an in-register pltpu.roll on the window block."""
     C, R, L = values.shape
     P, T, K, _ = idx.shape
-    assert len(shifts) == P
+    assert len(shifts) == P and R == T * wg
 
-    def kern(start_ref, idx_ref, v_hbm, o_ref, win, sems):
+    def kern(start_ref, idx_ref, base_ref, v_hbm, o_ref, win, sems):
         t = pl.program_id(0)
         dmas = [
             pltpu.make_async_copy(
@@ -310,22 +315,33 @@ def lane_pass_sum(values, starts, idx, *, wr: int, shifts,
                     acc = acc + jnp.where(
                         ids[p] == r, w[r : r + 1, :], 0.0
                     )
-            o_ref[c, 0] = acc
+            base = base_ref[c, 0]  # (wg, L)
+            if head:
+                o_ref[c, 0] = jnp.concatenate(
+                    [base[:K] + acc, base[K:]], axis=0
+                )
+            else:
+                o_ref[c, 0] = jnp.concatenate(
+                    [base[: wg - K], acc], axis=0
+                )
 
+    base_view = values.reshape(C, T, wg, L)
     return pl.pallas_call(
         kern,
         interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((C, T, K, L), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, T, wg, L), values.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T,),
             in_specs=[
                 pl.BlockSpec((P, 1, K, L), lambda t, s: (0, t, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, 1, wg, L), lambda t, s: (0, t, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (C, 1, K, L), lambda t, s: (0, t, 0, 0),
+                (C, 1, wg, L), lambda t, s: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -333,7 +349,7 @@ def lane_pass_sum(values, starts, idx, *, wr: int, shifts,
                 pltpu.SemaphoreType.DMA((P,)),
             ],
         ),
-    )(starts, idx, values)
+    )(starts, idx, base_view, values)
 
 
 def lane_fused_elem(values, starts, idx, cell_data, elem_fn, *,

@@ -56,6 +56,11 @@ class LanePlan:
     owner_passes: List[Tuple[int, int, np.ndarray]]
     # refresh passes: (p, q) -> idx (G, 1, wg_copy, 128) in [-1, wg_own)
     refresh_passes: List[Tuple[int, int, np.ndarray]]
+    # tail copies: rare (p, q) combinations (below pass_min_frac of all
+    # copies) excluded from the dense kernels; handled as flat-slot
+    # gather/scatter pairs (copy slot <-> owner slot, row*128+lane)
+    tail_copy_slot: np.ndarray = None  # (n_tail,) int64
+    tail_owner_slot: np.ndarray = None  # (n_tail,) int64
 
     @property
     def wg_copy(self) -> int:
@@ -93,8 +98,9 @@ class LanePlan:
 
 
 def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
-                    wg_own: int = 16, min_G: int = 0, min_kc: int = 0,
-                    min_wg_copy: int = 0) -> LanePlan:
+                    wg_own: int = 32, min_G: int = 0, min_kc: int = 0,
+                    min_wg_copy: int = 0,
+                    pass_min_frac: float = 0.0005) -> LanePlan:
     """Build the plan from node coordinates (n, gdim) and the (nc, nv)
     P1 cell->node table.
 
@@ -129,8 +135,61 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     G = max(int(bin_of.max()) + 1, min_G)
 
     # --- cells -> home bins -----------------------------------------------------
-    cell_lane = lane_of[cells[:, 0]]
-    cell_bin = bin_of[cells[:, 0]]
+    # a cell may live in the home bin of ANY of its nodes; balance the
+    # choice so the per-bin cell count (kc = padded max) stays near the
+    # mean. First-node assignment is fine on regular triangulations but
+    # measured 1.51x slot padding on jittered-Delaunay polycrystals.
+    node_key_all = (bin_of * N_LANES + lane_of).astype(np.int64)
+    cand = node_key_all[cells]  # (nc, nv) candidate bin keys
+    n_keys = G * N_LANES
+    rows_nc = np.arange(nc)
+    # resident count per candidate: how many of the cell's nodes are
+    # homed in that bin (more resident nodes = fewer copy slots). The
+    # balance objective is lexicographic: maximize residency, then
+    # minimize bin load — moving a cell to a less-resident bin would
+    # trade kc padding for copy volume (measured copies 0.57x -> 1.09x
+    # with load-only balancing on a jittered polycrystal).
+    resident = (cand[:, :, None] == cand[:, None, :]).sum(axis=2)
+    res_def = resident.max(axis=1, keepdims=True) - resident  # 0 = best
+    # start from the first node's bin: regular meshes group same-bin
+    # cells so their foreign nodes coincide (shared copies); ANY
+    # reshuffle measurably spreads them (0.56x -> 0.81x copies on the
+    # structured triangulation). The capacity rounds below then move
+    # only overloaded cells, and only into maximal-residency bins.
+    choice = np.zeros(nc, dtype=np.int64)
+    allowed = res_def == 0  # only move among maximal-residency bins
+    # capacity-targeted rounds: push cells out of bins above the padded
+    # mean into allowed candidate bins with spare room (herd damped by
+    # per-target room quotas); raise the target if a level stalls
+    target = _round_up(max(-(-nc // n_keys), 1), 8)
+    for _ in range(40):
+        cur = cand[rows_nc, choice]
+        loads = np.bincount(cur, minlength=n_keys)
+        if loads.max() <= target:
+            break
+        cand_loads = np.where(allowed, loads[cand], np.iinfo(np.int64).max)
+        best = np.argmin(cand_loads, axis=1)
+        cur_load = loads[cur]
+        best_load = cand_loads[rows_nc, best]
+        move = (cur_load > target) & (best_load < target)
+        if not move.any():
+            target += 8
+            continue
+        tgt = cand[rows_nc, best]
+        order_m = np.argsort(tgt[move], kind="stable")
+        movers = np.nonzero(move)[0][order_m]
+        tgt_m = tgt[movers]
+        first_pos = np.searchsorted(tgt_m, np.arange(n_keys))
+        rank_in_tgt = np.arange(len(movers)) - first_pos[tgt_m]
+        room = target - loads
+        keep = rank_in_tgt < room[tgt_m]
+        if not keep.any():
+            target += 8
+            continue
+        choice[movers[keep]] = best[movers[keep]]
+    home = cells[rows_nc, choice]
+    cell_lane = lane_of[home]
+    cell_bin = bin_of[home]
     cell_key = cell_bin * N_LANES + cell_lane
     csort = np.argsort(cell_key, kind="stable")
     key_sorted = cell_key[csort]
@@ -197,10 +256,18 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
 
     owner_passes = []
     refresh_passes = []
+    # rare (p, q) combos -> flat tail pairs, not a full dense pass each
+    # (a jittered polycrystal spreads 2% of its copies over 2x more
+    # (p, q) combos than hold the other 98%)
+    tail_mask = np.zeros(len(upairs), dtype=bool)
+    min_count = max(int(pass_min_frac * len(upairs)), 1)
     for p in np.unique(p_arr):
         for q in np.unique(q_arr[p_arr == p]):
             sel = (p_arr == p) & (q_arr == q)
             if not sel.any():
+                continue
+            if sel.sum() < min_count:
+                tail_mask |= sel
                 continue
             # refresh: dst copy (gc, wg_own+i, jc) <- src owned row
             # in bin gc+q, lane jc+p: kernel runs values=roll(u, -p),
@@ -220,12 +287,18 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
             oidx[gh[sel], 0, row_in_bin[un[sel]], jh[sel]] = copy_rank[sel]
             owner_passes.append((int(p), int(q), oidx))
 
+    tail_copy_slot = (
+        (gc[tail_mask] * wg + wg_own + copy_rank[tail_mask]) * N_LANES
+        + jc[tail_mask]
+    )
+    tail_owner_slot = node_row[un[tail_mask]] * N_LANES + jh[tail_mask]
     plan = LanePlan(
         n_nodes=n, n_cells=nc, nv=nv, wg_own=wg_own, wg=wg, G=G, kc=kc,
         R=R, node_row=node_row, node_lane=lane_of, owned_mask=owned_mask,
         cell_order=cell_order, cell_valid=cell_valid,
         gather_idx=gather_idx, gather_starts=gather_starts,
         owner_passes=owner_passes, refresh_passes=refresh_passes,
+        tail_copy_slot=tail_copy_slot, tail_owner_slot=tail_owner_slot,
     )
     # host copy-fill tables (vectorized)
     plan.copy_dst_rows = gc * wg + wg_own + copy_rank

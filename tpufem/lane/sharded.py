@@ -68,7 +68,7 @@ class ShardedLaneEngine:
         bcs: Sequence[DirichletBC],
         n_shards: int,
         *,
-        wg_own: int = 16,
+        wg_own: int = 32,
         method: str = "rcb",
         interpret: bool = False,
         devices: Optional[Sequence] = None,
@@ -160,6 +160,20 @@ class ShardedLaneEngine:
                 ))
                 for (a, b) in keys
             ]
+        # pad the rare-copy tail pairs to a common length (-1 = no-op)
+        tmax = max(
+            len(p.tail_copy_slot) if p.tail_copy_slot is not None else 0
+            for p in plans
+        )
+        if tmax:
+            for p in plans:
+                cur_c = (p.tail_copy_slot if p.tail_copy_slot is not None
+                         else np.zeros(0, np.int64))
+                cur_o = (p.tail_owner_slot if p.tail_owner_slot is not None
+                         else np.zeros(0, np.int64))
+                pad = np.full(tmax - len(cur_c), -1, np.int64)
+                p.tail_copy_slot = np.concatenate([cur_c, pad])
+                p.tail_owner_slot = np.concatenate([cur_o, pad])
         self.plans = plans
         self.R = plans[0].R
         self.flat_size = self.R * N_LANES
