@@ -46,7 +46,7 @@ def main():
           f"({ndofs/1e6:.2f}M dofs, {mesh.n_cells/1e6:.2f}M tets)",
           flush=True)
     t0 = time.time()
-    eng = LaneEngine(F, bcs)
+    eng = LaneEngine(F, bcs, wg_own=int(__import__("os").environ.get("WGOWN", "32")))
     p = eng.plan
     print(f"plan: {time.time()-t0:.1f}s G={p.G} wg={p.wg} kc={p.kc} "
           f"copies={len(p.copy_dst_rows)/p.n_nodes:.2f}x "

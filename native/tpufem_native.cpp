@@ -121,6 +121,58 @@ void rcm_ordering(const int64_t* indptr, const int32_t* indices,
     for (int64_t i = 0; i < n; ++i) out_perm[i] = order[n - 1 - i];
 }
 
+// Greedy Vanek smoothed-aggregation seeding on a symmetric CSR strength
+// graph (zero diagonal assumed removed). The sequential three-phase
+// algorithm of the SA-AMG literature — the role of hypre BoomerAMG's
+// coarsening in the reference solve (FEniCSx/mechanic2d/
+// asym_elasto_damage_model.cc:720-813). Deterministic.
+// out_agg[i] = aggregate id; returns n_agg.
+int64_t amg_aggregate(const int64_t* indptr, const int32_t* indices,
+                      const double* data, int64_t n, int64_t* out_agg) {
+    for (int64_t i = 0; i < n; ++i) out_agg[i] = -1;
+    int64_t n_agg = 0;
+    // phase 1: a node whose whole neighborhood is free seeds an
+    // aggregate of itself + its neighbors
+    for (int64_t i = 0; i < n; ++i) {
+        if (out_agg[i] != -1) continue;
+        bool free_nbhd = true;
+        for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
+            if (out_agg[indices[j]] != -1) { free_nbhd = false; break; }
+        }
+        if (!free_nbhd) continue;
+        int64_t id = n_agg++;
+        out_agg[i] = id;
+        for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j)
+            out_agg[indices[j]] = id;
+    }
+    // phase 2: attach remaining nodes to the strongest phase-1
+    // neighbor aggregate (buffered so attachments do not chain)
+    std::vector<int64_t> phase2(n, -1);
+    for (int64_t i = 0; i < n; ++i) {
+        if (out_agg[i] != -1) continue;
+        double best_w = -1.0;
+        int64_t best_a = -1;
+        for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
+            int64_t a = out_agg[indices[j]];
+            if (a != -1 && data[j] > best_w) { best_w = data[j]; best_a = a; }
+        }
+        phase2[i] = best_a;
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (phase2[i] != -1) out_agg[i] = phase2[i];
+    // phase 3: leftovers (isolated pockets) seed new aggregates with
+    // their still-free neighbors
+    for (int64_t i = 0; i < n; ++i) {
+        if (out_agg[i] != -1) continue;
+        int64_t id = n_agg++;
+        out_agg[i] = id;
+        for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
+            if (out_agg[indices[j]] == -1) out_agg[indices[j]] = id;
+        }
+    }
+    return n_agg;
+}
+
 // Morton (Z-curve) ordering of points in up to 3 dimensions.
 // out_order[rank] = point index.
 void morton_order(const double* coords, int64_t n, int64_t dim,

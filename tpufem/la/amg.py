@@ -136,9 +136,19 @@ def _node_strength_graph(A, bs: int, theta: float):
 
 
 def aggregate(S) -> Tuple[np.ndarray, int]:
-    """Greedy Vanek aggregation, vectorized as rounds of independent-set
-    seeding + strongest-neighbor attachment. S: symmetric CSR strength
-    graph with zero diagonal. Returns (agg[node] -> aggregate id, count)."""
+    """Greedy Vanek aggregation. S: symmetric CSR strength graph with
+    zero diagonal. Returns (agg[node] -> aggregate id, count).
+
+    Uses the native C++ three-phase Vanek pass (native/
+    tpufem_native.cpp:amg_aggregate — the hypre-coarsening role,
+    FEniCSx/...cc:720-813) when the library builds; otherwise the
+    vectorized NumPy rounds of independent-set seeding +
+    strongest-neighbor attachment below."""
+    from tpufem import native
+
+    res = native.amg_aggregate(S.indptr, S.indices, S.data)
+    if res is not None:
+        return res
     n = S.shape[0]
     indptr, indices, data = S.indptr, S.indices, S.data
     deg = np.diff(indptr)

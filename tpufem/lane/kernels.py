@@ -195,6 +195,9 @@ def lane_gather_cm(values, starts, idx, *, wr: int, n_ch: int,
         kern,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((V * C, T, K, L), values.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T,),
@@ -250,6 +253,9 @@ def lane_scatter_cm(src, idx, *, k_out: int, n_ch: int,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((C, T, k_out, L), src.dtype),
         grid=(T,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         in_specs=[
             pl.BlockSpec((1, V, K, L), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -330,6 +336,9 @@ def lane_pass_update(values, starts, idx, *, wr: int, wg: int, shifts,
         kern,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((C, T, wg, L), values.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T,),

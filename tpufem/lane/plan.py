@@ -116,13 +116,28 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
         raise ValueError("wg_own must be a multiple of 8 (sublane tiling)")
 
     # --- node strips and bins -------------------------------------------------
-    by_x = np.argsort(x[:, 0], kind="stable")
+    # 2D: 128 equal-count x-strips. 3D: 16x8 (x, y) tiles — pure
+    # x-strips of a box are thin 2D slabs whose neighborhoods spray
+    # copies across many bins (measured 3.05x copies / 52 passes on a
+    # 2M-DoF tet box vs 0.5x / 8 with tiles).
     lane_of = np.empty(n, dtype=np.int64)
-    bounds = np.linspace(0, n, N_LANES + 1).astype(np.int64)
-    for j in range(N_LANES):
-        lane_of[by_x[bounds[j] : bounds[j + 1]]] = j
+    if x.shape[1] > 2:
+        nx_t, ny_t = 16, 8
+        by_x = np.argsort(x[:, 0], kind="stable")
+        xb = np.linspace(0, n, nx_t + 1).astype(np.int64)
+        for ix in range(nx_t):
+            strip = by_x[xb[ix] : xb[ix + 1]]
+            by_y = strip[np.argsort(x[strip, 1], kind="stable")]
+            yb = np.linspace(0, len(by_y), ny_t + 1).astype(np.int64)
+            for iy in range(ny_t):
+                lane_of[by_y[yb[iy] : yb[iy + 1]]] = ix * ny_t + iy
+    else:
+        by_x = np.argsort(x[:, 0], kind="stable")
+        bounds = np.linspace(0, n, N_LANES + 1).astype(np.int64)
+        for j in range(N_LANES):
+            lane_of[by_x[bounds[j] : bounds[j + 1]]] = j
     # rank within lane by (z,) y, then x for ties — spatially coherent
-    # bins along the strip
+    # bins along the strip/tile column
     keys = (x[:, 0], x[:, 1]) + ((x[:, 2],) if x.shape[1] > 2 else ())
     order = np.lexsort(keys + (lane_of,))
     rank = np.empty(n, dtype=np.int64)
@@ -149,7 +164,9 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     # minimize bin load — moving a cell to a less-resident bin would
     # trade kc padding for copy volume (measured copies 0.57x -> 1.09x
     # with load-only balancing on a jittered polycrystal).
-    resident = (cand[:, :, None] == cand[:, None, :]).sum(axis=2)
+    resident = (cand[:, :, None] == cand[:, None, :]).sum(
+        axis=2, dtype=np.int8
+    )
     res_def = resident.max(axis=1, keepdims=True) - resident  # 0 = best
     # start from the first node's bin: regular meshes group same-bin
     # cells so their foreign nodes coincide (shared copies); ANY
@@ -162,7 +179,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     # mean into allowed candidate bins with spare room (herd damped by
     # per-target room quotas); raise the target if a level stalls
     target = _round_up(max(-(-nc // n_keys), 1), 8)
-    for _ in range(40):
+    for _ in range(16):
         cur = cand[rows_nc, choice]
         loads = np.bincount(cur, minlength=n_keys)
         if loads.max() <= target:

@@ -49,6 +49,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.gather_plan.restype = ctypes.c_int64
             lib.rcm_ordering.restype = None
             lib.morton_order.restype = None
+            lib.amg_aggregate.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _build_failed = True
@@ -99,6 +100,26 @@ def gather_plan(targets: np.ndarray, n_targets: int):
     )
     assert got == K, (got, K)
     return out
+
+
+def amg_aggregate(indptr: np.ndarray, indices: np.ndarray,
+                  data: np.ndarray):
+    """Greedy Vanek aggregation on a symmetric CSR strength graph
+    (zero diagonal removed). Returns (agg (n,), n_agg) or None if the
+    native library is unavailable (caller falls back to NumPy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    n = len(indptr) - 1
+    out = np.empty(n, dtype=np.int64)
+    n_agg = lib.amg_aggregate(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(data, ctypes.c_double), n, _ptr(out, ctypes.c_int64),
+    )
+    return out, int(n_agg)
 
 
 def rcm_ordering(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
