@@ -7,6 +7,11 @@ Reference context: 6.17M DoF Neper polycrystal, 814 s on 1 CPU core /
 13.4 s on 128 (BASELINE.md).
 
 Usage: python benchmarks/polycrystal_e2e.py [n=1024] [cg_rtol=1e-8]
+                                             [mixed=0] [newton_rtol=1e-6]
+
+mixed=1: f64 outer Newton (flat assembler) + f32 lane inner CG —
+defect correction past the f32 residual floor (~rel 2e-6 at 2.1M) to
+the reference's f64 accuracy. Needs x64, enabled below.
 """
 
 import sys
@@ -24,15 +29,20 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     rtol = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-8
+    mixed = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
+    nrtol = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-6
+    if mixed:
+        jax.config.update("jax_enable_x64", True)
 
     t0 = time.perf_counter()
     res = polycrystal.run(
         n,
         solver=SolverConfig(
-            cg_rtol=rtol, newton_rtol=1e-6, cg_maxit=30000,
+            cg_rtol=rtol, newton_rtol=nrtol, cg_maxit=30000,
             preconditioner="twolevel",
             error_on_nonconvergence=False, verbose=True,
         ),
+        mixed=mixed,
         gmsh_roundtrip=(n <= 512),  # ASCII IO at 2M cells is host-bound
     )
     total = time.perf_counter() - t0

@@ -54,6 +54,39 @@ def test_polycrystal_e2e_small():
                                atol=1e-12)
 
 
+def test_polycrystal_mixed_precision_matches_f64():
+    """Mixed-precision defect correction (f64 flat outer Newton + f32
+    lane inner CG) must land on the all-f64 root — the reference's f64
+    accuracy gate (BASELINE: 1e-10 displacement matching) at lane-f32
+    speed. The golden run is the plain lane solve, which on CPU+x64 is
+    all-f64."""
+    kw = dict(n_grains=12, gmsh_roundtrip=False, interpret=True,
+              smooth_iters=4)
+    gold = polycrystal.run(
+        20,
+        solver=SolverConfig(cg_rtol=1e-12, newton_rtol=1e-10,
+                            cg_maxit=5000, newton_maxit=20,
+                            error_on_nonconvergence=False,
+                            preconditioner="jacobi"),
+        **kw,
+    )
+    assert gold.stats["converged"]
+    mixed = polycrystal.run(
+        20,
+        solver=SolverConfig(cg_rtol=1e-6, newton_rtol=1e-10,
+                            cg_maxit=5000, newton_maxit=30,
+                            error_on_nonconvergence=False,
+                            preconditioner="jacobi"),
+        mixed=True,
+        **kw,
+    )
+    assert mixed.stats["converged"]
+    num = np.linalg.norm(mixed.u_flat - gold.u_flat)
+    den = np.linalg.norm(gold.u_flat)
+    assert num / den < 1e-10, num / den
+    assert abs(mixed.energy - gold.energy) < 1e-10 * abs(gold.energy)
+
+
 def test_polycrystal_matches_structured_continuum():
     """With constant E and the same (unsmoothed) damage band, the
     unstructured polycrystal solve and the structured lattice solve

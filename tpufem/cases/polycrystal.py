@@ -126,6 +126,7 @@ def run(
     n_damage_chains: int = 30,
     interpret: bool = False,
     mesh: Optional[Mesh] = None,
+    mixed: bool = False,
 ) -> PolycrystalResult:
     """End-to-end: generate (or take) the polycrystal, optional gmsh 2.2
     write+read round trip, per-grain E via the reference's glibc stream,
@@ -222,18 +223,38 @@ def run(
     )
     t0 = time.perf_counter()
     use_tl = cfg.preconditioner == "twolevel"
-    solve = eng.make_solver(
-        cfg,
-        cg_chunk=20 if use_tl else 200,
-        fine_coeffs=(
-            {"d": d, "E": E_cell} if use_tl else None
-        ),
-    )
-    u_lane, stats = solve(jnp.zeros_like(eng.bc_lane), cc)
+    if mixed:
+        # f64 outer Newton (flat assembler) + inner-dtype lane CG:
+        # converges past the f32 residual floor to the reference's f64
+        # accuracy. Requires jax_enable_x64.
+        solve = eng.make_mixed_solver(
+            cfg,
+            cg_chunk=20 if use_tl else 200,
+            fine_coeffs={"d": d, "E": E_cell} if use_tl else None,
+        )
+        u64, stats = solve(
+            jnp.zeros(V.n_dofs, dtype=jnp.float64),
+            {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)},
+            cc,
+        )
+        # keep f64 through the energy postprocess (the element energy
+        # vmap is plain XLA, not Pallas, so f64 costs one emulated pass
+        # on TPU) — downcasting here put an f32 floor (~5e-8 rel) under
+        # the energy while displacements matched at 1e-12
+        u_lane = eng.to_lane_dev(u64)
+    else:
+        solve = eng.make_solver(
+            cfg,
+            cg_chunk=20 if use_tl else 200,
+            fine_coeffs=(
+                {"d": d, "E": E_cell} if use_tl else None
+            ),
+        )
+        u_lane, stats = solve(jnp.zeros_like(eng.bc_lane), cc)
     timings["7.3 nonlinear resolution"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    u_flat = eng.from_lane(u_lane)
+    u_flat = np.asarray(u64) if mixed else eng.from_lane(u_lane)
     u_cells = eng._gather_cells(u_lane)
     fn, xarg, xax = eng._elem_args(u_lane.dtype)
     e_cells = jax.vmap(fn, in_axes=(-1,) + xax + (-1,))(

@@ -584,6 +584,43 @@ class LaneEngine:
     def from_lane(self, u_lane) -> np.ndarray:
         return self.plan.from_lane(np.asarray(u_lane), self.bs)
 
+    def _lane_maps_dev(self):
+        """Device-resident plan.to_lane/from_lane index tables (lazy)."""
+        if getattr(self, "_lmaps", None) is None:
+            p = self.plan
+            maps = dict(
+                row=jnp.asarray(np.asarray(p.node_row, dtype=np.int32)),
+                lane=jnp.asarray(np.asarray(p.node_lane, dtype=np.int32)),
+            )
+            if p.copy_dst_rows is not None and len(p.copy_dst_rows):
+                maps.update(
+                    cdr=jnp.asarray(np.asarray(p.copy_dst_rows, np.int32)),
+                    cdl=jnp.asarray(np.asarray(p.copy_dst_lanes, np.int32)),
+                    csr=jnp.asarray(np.asarray(p.copy_src_rows, np.int32)),
+                    csl=jnp.asarray(np.asarray(p.copy_src_lanes, np.int32)),
+                )
+            self._lmaps = maps
+        return self._lmaps
+
+    def to_lane_dev(self, u_flat) -> jnp.ndarray:
+        """plan.to_lane, device-side (flat byVDIM -> (bs, R, 128) with
+        copies filled) — no host roundtrip (the axon tunnel makes
+        device<->host pulls expensive at 1M+ dofs)."""
+        m = self._lane_maps_dev()
+        u = u_flat.reshape(self.plan.n_nodes, self.bs).T
+        out = jnp.zeros((self.bs, self.plan.R, N_LANES), u.dtype)
+        out = out.at[:, m["row"], m["lane"]].set(u)
+        if "cdr" in m:
+            out = out.at[:, m["cdr"], m["cdl"]].set(
+                out[:, m["csr"], m["csl"]]
+            )
+        return out
+
+    def from_lane_dev(self, u_lane) -> jnp.ndarray:
+        """plan.from_lane, device-side ((bs, R, 128) -> flat byVDIM)."""
+        m = self._lane_maps_dev()
+        return u_lane[:, m["row"], m["lane"]].T.reshape(-1)
+
     def prepare_coeffs(self, coeffs: Dict[str, jnp.ndarray]):
         """Pre-gather coefficient values per cell in lane-cell order
         (frozen during a solve — the quadrature cache of MFEM/...cc:
@@ -871,14 +908,19 @@ class LaneEngine:
                 if use_tl:
                     from tpufem.lane import twolevel as tlmod
 
-                    # rebuild at the CURRENT linearization state every
-                    # Newton iteration (the asym law's branch pattern
-                    # changes; a frozen smoother/lattice operator lets
-                    # CG stall). Shapes are plan-determined, so no
-                    # retraces — only host planning + small device work.
-                    _tl["static"], _tl["data"] = tlmod.build_twolevel(
-                        eng, u, coeff_cells, fine_coeffs,
-                        nc=twolevel_nc,
+                    # geometric setup (transfers + frozen u_c=0 lattice
+                    # operator) once; only the fine Chebyshev smoother
+                    # data is refreshed at the CURRENT linearization
+                    # state each Newton iteration (the asym law's branch
+                    # pattern changes; a stale smoother interval lets CG
+                    # stall). Rebuilding the full geo every iteration
+                    # cost ~minutes/iter of host planning at 2.1M dofs.
+                    if "geo" not in _tl:
+                        _tl["static"], _tl["geo"] = tlmod.build_twolevel_geo(
+                            eng, fine_coeffs, nc=twolevel_nc,
+                        )
+                    _tl["data"] = tlmod.refresh_twolevel(
+                        eng, _tl["static"], _tl["geo"], u, coeff_cells,
                     )
                     tl_data = _tl["data"]
                 if use_tl:
@@ -944,6 +986,204 @@ class LaneEngine:
             return u, dict(
                 newton_iters=it, total_cg_iters=total_cg,
                 final_residual=bnorm, r0=r0 or bnorm, converged=converged,
+            )
+
+        return solve
+
+    def make_mixed_solver(self, cfg: Optional[SolverConfig] = None, *,
+                          cg_chunk: int = 20, fine_coeffs=None,
+                          twolevel_nc=None, inner_dtype=None):
+        """Mixed-precision defect-correction Newton-Krylov.
+
+        Outer residuals, convergence control, line search and iterate
+        updates run in the iterate's dtype (f64) through the flat
+        Assembler (XLA gathers are f64-capable on TPU; evaluated once
+        per Newton iteration), while every CG solve runs on the lane
+        engine in ``inner_dtype`` (default f32 — the Pallas TPU path)
+        against a normalized right-hand side. Newton is the
+        defect-correction loop, so the iterate converges to the
+        all-f64 root — the reference's f64 accuracy (CG rtol 1e-12,
+        doc.tex:2252-2257) at lane-f32 speed; same contract as
+        structured.solve.make_grid_solver's ``inner_dtype``. Requires
+        jax_enable_x64.
+
+        Returns ``solve(u0_flat, coeffs_flat, coeff_cells)`` where
+        ``u0_flat`` is the (n_dofs,) f64 byVDIM iterate, ``coeffs_flat``
+        maps coefficient names to flat f64 vectors (also the lattice
+        sampling source when ``cfg.preconditioner='twolevel'``), and
+        ``coeff_cells`` is :meth:`prepare_coeffs` output.
+        """
+        from tpufem.assemble.assembler import Assembler
+
+        cfg = cfg or SolverConfig()
+        eng = self
+        idt = inner_dtype or jnp.float32
+        use_tl = cfg.preconditioner == "twolevel"
+        # twolevel lattice sampling defaults to coeffs_flat at call time
+        asm = Assembler(self.functional, self.bcs)
+        _tl = {}
+
+        # inner-dtype view of the engine: float leaves (geometry, masks)
+        # pre-cast ONCE — under x64 the engine's device arrays are f64,
+        # and tracing astype per call would stream an f64->f32 convert
+        # of the whole geometry through HBM inside every CG matvec
+        def _to_inner(a):
+            return (a.astype(idt)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a)
+
+        ieng = jax.tree_util.tree_map(_to_inner, eng)
+
+        @jax.jit
+        def rhs64(asm_, u_flat, coeffs_flat, free_flat):
+            r = asm_.residual(u_flat, coeffs_flat)
+            b = -r * free_flat
+            return b, jnp.sqrt(jnp.vdot(b, b))
+
+        @jax.jit
+        def diag_fn(eng_, u, coeffs, free):
+            d = eng_.diagonal(u, coeffs)
+            d = d * free + (1.0 - free)
+            return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def cg_chunk_fn(nsteps, eng_, u_lin, coeffs, free, dinv, tl_data,
+                        state):
+            if use_tl:
+                u_cells = eng_._gather_cells(u_lin)
+                Araw = lambda v: eng_.tangent_from_cells(
+                    u_cells, coeffs, v
+                )
+            else:
+                Araw = eng_.make_tangent(u_lin, coeffs)
+
+            def A(v):
+                av = Araw(v * free)
+                return av * free + v * (1.0 - free)
+
+            def M(r):
+                if use_tl:
+                    from tpufem.lane import twolevel as tlmod
+
+                    u_cells_m = eng_._gather_cells(u_lin)
+                    return tlmod.precondition(
+                        eng_, _tl["static"], tl_data, u_cells_m, coeffs,
+                        free, r,
+                    )
+                return dinv * r
+
+            def body(_, st):
+                x, r, z, pvec, rz = st
+                Ap = A(pvec)
+                alpha = rz / eng_.dot(pvec, Ap)
+                x = x + alpha * pvec
+                r = r - alpha * Ap
+                z = M(r)
+                rz_new = eng_.dot(r, z)
+                pvec = z + (rz_new / rz) * pvec
+                return (x, r, z, pvec, rz_new)
+
+            st = jax.lax.fori_loop(0, nsteps, body, state)
+            return st, jnp.sqrt(eng.dot(st[1], st[1]))
+
+        def solve(u0_flat, coeffs_flat, coeff_cells):
+            f64 = u0_flat.dtype
+            free64 = asm.free_mask(f64)
+            u = asm.set_bc(u0_flat)
+            coeffs_in = jax.tree_util.tree_map(
+                lambda a: a.astype(idt), coeff_cells
+            )
+            free_in = ieng.free_lane.astype(idt)
+            fine_c = fine_coeffs if fine_coeffs is not None else coeffs_flat
+            r0 = None
+            total_cg = 0
+            it = 0
+            for it in range(1, cfg.newton_maxit + 1):
+                b64, bnorm = rhs64(asm, u, coeffs_flat, free64)
+                bnorm = float(bnorm)
+                if r0 is None:
+                    r0 = bnorm
+                if bnorm < max(cfg.newton_rtol * r0, cfg.newton_atol):
+                    it -= 1
+                    break
+                scale = bnorm if bnorm > 0 else 1.0
+                u_in = eng.to_lane_dev(u).astype(idt)
+                b_in = eng.to_lane_dev(b64 / scale).astype(idt)
+                dinv = diag_fn(ieng, u_in, coeffs_in, free_in)
+                tl_data = None
+                if use_tl:
+                    from tpufem.lane import twolevel as tlmod
+
+                    if "geo" not in _tl:
+                        _tl["static"], _tl["geo"] = (
+                            tlmod.build_twolevel_geo(
+                                ieng,
+                                {k: np.asarray(v)
+                                 for k, v in fine_c.items()},
+                                nc=twolevel_nc, coarse_dtype=idt,
+                            )
+                        )
+                    _tl["data"] = tlmod.refresh_twolevel(
+                        ieng, _tl["static"], _tl["geo"], u_in, coeffs_in,
+                    )
+                    tl_data = _tl["data"]
+                    u_cells0 = ieng._gather_cells(u_in)
+                    z0 = tlmod.precondition(
+                        ieng, _tl["static"], tl_data, u_cells0, coeffs_in,
+                        free_in, b_in,
+                    )
+                else:
+                    z0 = dinv * b_in
+                state = (jnp.zeros_like(b_in), b_in, z0, z0,
+                         ieng.dot(b_in, z0))
+                # inner tolerance is relative to the normalized rhs
+                # (norm 1); f32 bottoms out near ~1e-6
+                tol = max(cfg.cg_rtol, cfg.cg_atol / scale)
+                k = 0
+                stall = 0
+                best_rr = float("inf")
+                while k < cfg.cg_maxit:
+                    nsteps = min(cg_chunk, cfg.cg_maxit - k)
+                    state, rr = cg_chunk_fn(
+                        nsteps, ieng, u_in, coeffs_in, free_in, dinv,
+                        tl_data, state
+                    )
+                    k += nsteps
+                    rr = float(rr)
+                    if rr < tol:
+                        break
+                    if rr > 0.9 * best_rr:
+                        stall += 1
+                        if stall >= 4:
+                            break
+                    else:
+                        stall = 0
+                    best_rr = min(best_rr, rr)
+                step64 = eng.from_lane_dev(
+                    state[0] * free_in
+                ).astype(f64) * scale
+                alpha = 1.0
+                for _ in range(6):
+                    _, bn_new = rhs64(asm, u + alpha * step64,
+                                      coeffs_flat, free64)
+                    if float(bn_new) <= bnorm * (1.0 + 1e-12):
+                        break
+                    alpha *= 0.5
+                u = u + alpha * step64
+                total_cg += k
+                if cfg.verbose:
+                    print(
+                        f"mixed Newton {it}: |r| = {bnorm:.6e} (cg {k}"
+                        + (f", damping {alpha}" if alpha < 1.0 else "")
+                        + ")"
+                    )
+            b64, bnorm = rhs64(asm, u, coeffs_flat, free64)
+            bnorm = float(bnorm)
+            converged = bnorm < max(cfg.newton_rtol * (r0 or bnorm or 1.0),
+                                    cfg.newton_atol)
+            return u, dict(
+                newton_iters=it, total_cg_iters=total_cg,
+                final_residual=bnorm, r0=r0 or bnorm,
+                converged=converged,
             )
 
         return solve

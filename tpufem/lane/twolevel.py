@@ -20,6 +20,7 @@ a preconditioner-grade approximation, not a discretization claim.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -64,13 +65,22 @@ class TwoLevelStatic(NamedTuple):
     degree: int
 
 
-def build_twolevel(eng, u_lane, coeff_cells, fine_coeffs, *, nc=None,
-                   degree=2, power_iters=12, mg_coarse_dofs=1500):
-    """Host-side setup.
+def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
+                       mg_coarse_dofs=1500, coarse_dtype=None):
+    """Host-side setup of everything state-INDEPENDENT: transfer tables,
+    one-hot selectors, coarse lattice fields/operator (linearized at
+    u_c = 0 with the frozen coefficient fields) and the lattice-MG
+    hierarchy. Build once per solve; the per-Newton-iteration part is
+    :func:`refresh_twolevel` (device-only smoother data). At 2.1M dofs
+    this host pass costs minutes — rebuilding it every Newton iteration
+    (as round-2's first cut did) dominated the whole solve.
 
     ``fine_coeffs``: dict name -> flat fine coefficient vector (for
     lattice sampling). ``nc``: lattice cells per side (default ~ the
     mesh's own resolution, sqrt(n_nodes)/2 rounded to even).
+    ``coarse_dtype``: force the lattice-MG hierarchy to this dtype
+    (mixed-precision solves pass f32 so the coarse V-cycle never rides
+    TPU's emulated f64; preconditioner quality is unaffected).
     """
     from scipy.spatial import cKDTree
 
@@ -255,46 +265,23 @@ def build_twolevel(eng, u_lane, coeff_cells, fine_coeffs, *, nc=None,
     )
     coarse_free = jnp.asarray((cf > 0.5).astype(np.float64))
 
-    u_c = jnp.zeros((bs, ncy + 1, ncx + 1))
+    if coarse_dtype is not None:
+        coarse_fields = {
+            k: v.astype(coarse_dtype) for k, v in coarse_fields.items()
+        }
+        coarse_free = coarse_free.astype(coarse_dtype)
+    u_c = jnp.zeros((bs, ncy + 1, ncx + 1), dtype=coarse_free.dtype)
     mg_grids, mg_data = mg2d.build_mg2d(
         grid, u_c, coarse_fields, coarse_free,
         coarse_dofs=mg_coarse_dofs,
     )
-
-    # --- fine smoother data -------------------------------------------------------
-    free = eng.free_lane.astype(u_lane.dtype)
-    d = eng.diagonal(u_lane, coeff_cells)
-    d = d * free + (1.0 - free)
-    inv_d = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
-    u_cells = eng._gather_cells(u_lane)
-
-    @jax.jit
-    def est_lmax(eng_, u_cells_, cc_, free_, inv_d_):
-        v0 = jnp.asarray(
-            np.where(np.arange(d.size) % 2 == 0, 1.0, -1.0).reshape(d.shape)
-        ).astype(d.dtype) * free_
-        v0 = v0 / jnp.sqrt(jnp.vdot(v0, v0))
-
-        def A(v):
-            av = eng_.tangent_from_cells(u_cells_, cc_, v * free_)
-            return av * free_ + v * (1.0 - free_)
-
-        def body(_, v):
-            w = inv_d_ * A(v)
-            return w / jnp.sqrt(jnp.vdot(w, w))
-
-        v = jax.lax.fori_loop(0, power_iters, body, v0)
-        w = inv_d_ * A(v)
-        return jnp.vdot(v, w) / jnp.vdot(v, v)
-
-    lmax = est_lmax(eng, u_cells, coeff_cells, free, inv_d)
 
     static = TwoLevelStatic(
         SC=SC, WRp=WRp, WRr=WRr, Kc=Kc, ncx=ncx, ncy=ncy, Rv=Rv,
         mg_grids=mg_grids, degree=degree,
     )
     starts_gc = np.ascontiguousarray(r_start)
-    data = TwoLevelData(
+    geo = dict(
         S=jnp.asarray(S),
         p_starts=jnp.asarray(starts_p),
         p_idx=jnp.asarray(p_idx),
@@ -302,11 +289,66 @@ def build_twolevel(eng, u_lane, coeff_cells, fine_coeffs, *, nc=None,
         r_starts=jnp.asarray(starts_gc),
         r_idx=jnp.asarray(r_idx),
         r_wts=jnp.asarray(r_wts),
-        inv_d=inv_d,
-        lmax=lmax,
         mg_data=mg_data,
         coarse_free=coarse_free,
     )
+    return static, geo
+
+
+@functools.partial(jax.jit, static_argnames=("power_iters",))
+def _smoother_data(eng, u_lane, coeff_cells, *, power_iters=12):
+    """Device-only per-linearization smoother data: Jacobi inverse
+    diagonal + power-iteration lambda_max of D^-1 J at the CURRENT
+    iterate (the asym law's branch pattern moves with u, so a stale
+    Chebyshev interval lets CG stall — this is the part that must be
+    refreshed every Newton iteration; the coarse lattice operator is
+    linearized at u_c = 0 regardless and stays frozen)."""
+    free = eng.free_lane.astype(u_lane.dtype)
+    d = eng.diagonal(u_lane, coeff_cells)
+    d = d * free + (1.0 - free)
+    inv_d = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+    u_cells = eng._gather_cells(u_lane)
+
+    sz = d.size
+    v0 = jnp.where(jnp.arange(sz) % 2 == 0, 1.0, -1.0).reshape(
+        d.shape
+    ).astype(d.dtype) * free
+    v0 = v0 / jnp.sqrt(jnp.vdot(v0, v0))
+
+    def A(v):
+        av = eng.tangent_from_cells(u_cells, coeff_cells, v * free)
+        return av * free + v * (1.0 - free)
+
+    def body(_, v):
+        w = inv_d * A(v)
+        return w / jnp.sqrt(jnp.vdot(w, w))
+
+    v = jax.lax.fori_loop(0, power_iters, body, v0)
+    w = inv_d * A(v)
+    lmax = jnp.vdot(v, w) / jnp.vdot(v, v)
+    return inv_d, lmax
+
+
+def refresh_twolevel(eng, static, geo, u_lane, coeff_cells, *,
+                     power_iters=12):
+    """Per-Newton-iteration update: recompute the fine Chebyshev
+    smoother data at the current linearization state. Device-only —
+    no host planning, no uploads."""
+    inv_d, lmax = _smoother_data(eng, u_lane, coeff_cells,
+                                 power_iters=power_iters)
+    return TwoLevelData(inv_d=inv_d, lmax=lmax, **geo)
+
+
+def build_twolevel(eng, u_lane, coeff_cells, fine_coeffs, *, nc=None,
+                   degree=2, power_iters=12, mg_coarse_dofs=1500):
+    """One-shot setup (geo + smoother data); prefer build_twolevel_geo +
+    refresh_twolevel inside Newton loops."""
+    static, geo = build_twolevel_geo(
+        eng, fine_coeffs, nc=nc, degree=degree,
+        mg_coarse_dofs=mg_coarse_dofs,
+    )
+    data = refresh_twolevel(eng, static, geo, u_lane, coeff_cells,
+                            power_iters=power_iters)
     return static, data
 
 
