@@ -1108,56 +1108,62 @@ class LaneEngine:
                 scale = bnorm if bnorm > 0 else 1.0
                 u_in = eng.to_lane_dev(u).astype(idt)
                 b_in = eng.to_lane_dev(b64 / scale).astype(idt)
-                dinv = diag_fn(ieng, u_in, coeffs_in, free_in)
-                tl_data = None
-                if use_tl:
-                    from tpufem.lane import twolevel as tlmod
+                # the whole inner solve traces with x64 disabled: under
+                # jax_enable_x64, bare Python ints in the lane kernels'
+                # index maps / DMA slices lower as i64 constants, which
+                # Mosaic rejects (i32-only); the inner path is f32/i32
+                # by construction so 32-bit trace semantics are exact
+                with jax.enable_x64(False):
+                    dinv = diag_fn(ieng, u_in, coeffs_in, free_in)
+                    tl_data = None
+                    if use_tl:
+                        from tpufem.lane import twolevel as tlmod
 
-                    if "geo" not in _tl:
-                        _tl["static"], _tl["geo"] = (
-                            tlmod.build_twolevel_geo(
-                                ieng,
-                                {k: np.asarray(v)
-                                 for k, v in fine_c.items()},
-                                nc=twolevel_nc, coarse_dtype=idt,
+                        if "geo" not in _tl:
+                            _tl["static"], _tl["geo"] = (
+                                tlmod.build_twolevel_geo(
+                                    ieng,
+                                    {k: np.asarray(v)
+                                     for k, v in fine_c.items()},
+                                    nc=twolevel_nc, coarse_dtype=idt,
+                                )
                             )
+                        _tl["data"] = tlmod.refresh_twolevel(
+                            ieng, _tl["static"], _tl["geo"], u_in, coeffs_in,
                         )
-                    _tl["data"] = tlmod.refresh_twolevel(
-                        ieng, _tl["static"], _tl["geo"], u_in, coeffs_in,
-                    )
-                    tl_data = _tl["data"]
-                    u_cells0 = ieng._gather_cells(u_in)
-                    z0 = tlmod.precondition(
-                        ieng, _tl["static"], tl_data, u_cells0, coeffs_in,
-                        free_in, b_in,
-                    )
-                else:
-                    z0 = dinv * b_in
-                state = (jnp.zeros_like(b_in), b_in, z0, z0,
-                         ieng.dot(b_in, z0))
-                # inner tolerance is relative to the normalized rhs
-                # (norm 1); f32 bottoms out near ~1e-6
-                tol = max(cfg.cg_rtol, cfg.cg_atol / scale)
-                k = 0
-                stall = 0
-                best_rr = float("inf")
-                while k < cfg.cg_maxit:
-                    nsteps = min(cg_chunk, cfg.cg_maxit - k)
-                    state, rr = cg_chunk_fn(
-                        nsteps, ieng, u_in, coeffs_in, free_in, dinv,
-                        tl_data, state
-                    )
-                    k += nsteps
-                    rr = float(rr)
-                    if rr < tol:
-                        break
-                    if rr > 0.9 * best_rr:
-                        stall += 1
-                        if stall >= 4:
-                            break
+                        tl_data = _tl["data"]
+                        u_cells0 = ieng._gather_cells(u_in)
+                        z0 = tlmod.precondition(
+                            ieng, _tl["static"], tl_data, u_cells0, coeffs_in,
+                            free_in, b_in,
+                        )
                     else:
-                        stall = 0
-                    best_rr = min(best_rr, rr)
+                        z0 = dinv * b_in
+                    state = (jnp.zeros_like(b_in), b_in, z0, z0,
+                             ieng.dot(b_in, z0))
+                    # inner tolerance is relative to the normalized rhs
+                    # (norm 1); f32 bottoms out near ~1e-6
+                    tol = max(cfg.cg_rtol, cfg.cg_atol / scale)
+                    k = 0
+                    stall = 0
+                    best_rr = float("inf")
+                    while k < cfg.cg_maxit:
+                        nsteps = min(cg_chunk, cfg.cg_maxit - k)
+                        state, rr = cg_chunk_fn(
+                            nsteps, ieng, u_in, coeffs_in, free_in, dinv,
+                            tl_data, state
+                        )
+                        k += nsteps
+                        rr = float(rr)
+                        if rr < tol:
+                            break
+                        if rr > 0.9 * best_rr:
+                            stall += 1
+                            if stall >= 4:
+                                break
+                        else:
+                            stall = 0
+                        best_rr = min(best_rr, rr)
                 step64 = eng.from_lane_dev(
                     state[0] * free_in
                 ).astype(f64) * scale

@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -300,7 +301,9 @@ def lane_pass_update(values, starts, idx, *, wr: int, wg: int, shifts,
         dmas = [
             pltpu.make_async_copy(
                 v_hbm.at[:, pl.ds(start_ref[p, t], wr), :],
-                win.at[p], sems.at[p],
+                # np.int32: under jax_enable_x64 a bare Python int lowers
+                # as an i64 constant, which Mosaic's memref_slice rejects
+                win.at[np.int32(p)], sems.at[np.int32(p)],
             )
             for p in range(P)
         ]
@@ -316,7 +319,7 @@ def lane_pass_update(values, starts, idx, *, wr: int, wg: int, shifts,
                 if shifts[p] % L:
                     # pltpu.roll needs a non-negative shift; cyclic over
                     # the 128 lanes so mod is exact
-                    w = pltpu.roll(w, shifts[p] % L, 1)
+                    w = pltpu.roll(w, np.int32(shifts[p] % L), 1)
                 for r in range(wr):
                     acc = acc + jnp.where(
                         ids[p] == r, w[r : r + 1, :], 0.0

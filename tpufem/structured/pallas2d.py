@@ -125,9 +125,9 @@ def make_residual_kernel(nx: int, ny: int, hx: float, hy: float,
             def shifted(x, dy, dx):
                 out = x[:]
                 if dy:
-                    out = pltpu.roll(out, L - dy, 0)
+                    out = pltpu.roll(out, np.int32(L - dy), 0)
                 if dx:
-                    out = pltpu.roll(out, WP - dx, 1)
+                    out = pltpu.roll(out, np.int32(WP - dx), 1)
                 return out
 
             u_at = {}
@@ -169,11 +169,11 @@ def make_residual_kernel(nx: int, ny: int, hx: float, hy: float,
                     # contribution of cell (k_c, j_c) to node
                     # (k_c+dy, j_c+dx): roll forward
                     if dy:
-                        fx = pltpu.roll(fx, dy, 0)
-                        fy = pltpu.roll(fy, dy, 0)
+                        fx = pltpu.roll(fx, np.int32(dy), 0)
+                        fy = pltpu.roll(fy, np.int32(dy), 0)
                     if dx:
-                        fx = pltpu.roll(fx, dx, 1)
-                        fy = pltpu.roll(fy, dx, 1)
+                        fx = pltpu.roll(fx, np.int32(dx), 1)
+                        fy = pltpu.roll(fy, np.int32(dx), 1)
                     acc_x = acc_x + fx
                     acc_y = acc_y + fy
 
@@ -315,9 +315,9 @@ def make_tangent_kernel(nx: int, ny: int, hx: float, hy: float,
             def shifted(x, dy, dx):
                 out = x[:]
                 if dy:
-                    out = pltpu.roll(out, L - dy, 0)
+                    out = pltpu.roll(out, np.int32(L - dy), 0)
                 if dx:
-                    out = pltpu.roll(out, WP - dx, 1)
+                    out = pltpu.roll(out, np.int32(WP - dx), 1)
                 return out
 
             at = {}
@@ -360,11 +360,11 @@ def make_tangent_kernel(nx: int, ny: int, hx: float, hy: float,
                     fx = w * (ds11 * dN[k, 0] + ds12 * dN[k, 1]) * valid
                     fy = w * (ds12 * dN[k, 0] + ds22 * dN[k, 1]) * valid
                     if dy:
-                        fx = pltpu.roll(fx, dy, 0)
-                        fy = pltpu.roll(fy, dy, 0)
+                        fx = pltpu.roll(fx, np.int32(dy), 0)
+                        fy = pltpu.roll(fy, np.int32(dy), 0)
                     if dx:
-                        fx = pltpu.roll(fx, dx, 1)
-                        fy = pltpu.roll(fy, dx, 1)
+                        fx = pltpu.roll(fx, np.int32(dx), 1)
+                        fy = pltpu.roll(fy, np.int32(dx), 1)
                     acc_x = acc_x + fx
                     acc_y = acc_y + fy
 

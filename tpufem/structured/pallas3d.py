@@ -100,7 +100,10 @@ def make_linear_matvec(grid: StructuredGrid3D, E: float = None,
             z0 = i * BZ
             cps = [
                 pltpu.make_async_copy(
-                    x_ref.at[c, pl.ds(z0, L), :, :], xs.at[c], sem.at[c]
+                    # np.int32: bare Python ints lower as i64 constants
+                    # under jax_enable_x64, which Mosaic rejects
+                    x_ref.at[np.int32(c), pl.ds(z0, L), :, :],
+                    xs.at[np.int32(c)], sem.at[np.int32(c)]
                 )
                 for c in range(3)
             ]
@@ -129,11 +132,11 @@ def make_linear_matvec(grid: StructuredGrid3D, E: float = None,
 
             def roll3(a, dz, dy, dx):
                 if dz:
-                    a = pltpu.roll(a, (L - dz) % L, 0)
+                    a = pltpu.roll(a, np.int32((L - dz) % L), 0)
                 if dy:
-                    a = pltpu.roll(a, (YP - dy) % YP, 1)
+                    a = pltpu.roll(a, np.int32((YP - dy) % YP), 1)
                 if dx:
-                    a = pltpu.roll(a, (XP - dx) % XP, 2)
+                    a = pltpu.roll(a, np.int32((XP - dx) % XP), 2)
                 return a
 
             # in-place scratch accumulators: keeps the unrolled dataflow's
