@@ -237,11 +237,6 @@ def run(
             {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)},
             cc,
         )
-        # keep f64 through the energy postprocess (the element energy
-        # vmap is plain XLA, not Pallas, so f64 costs one emulated pass
-        # on TPU) — downcasting here put an f32 floor (~5e-8 rel) under
-        # the energy while displacements matched at 1e-12
-        u_lane = eng.to_lane_dev(u64)
     else:
         solve = eng.make_solver(
             cfg,
@@ -254,14 +249,25 @@ def run(
     timings["7.3 nonlinear resolution"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    u_flat = np.asarray(u64) if mixed else eng.from_lane(u_lane)
-    u_cells = eng._gather_cells(u_lane)
-    fn, xarg, xax = eng._elem_args(u_lane.dtype)
-    e_cells = jax.vmap(fn, in_axes=(-1,) + xax + (-1,))(
-        u_cells, xarg, cc
-    )
-    valid = jnp.asarray(eng.plan.cell_valid)
-    energy = float(jnp.sum(jnp.where(valid, e_cells, 0.0)))
+    if mixed:
+        # f64 energy via the flat Assembler (pure XLA — the lane
+        # kernels are Pallas and Mosaic has no f64 on TPU)
+        from tpufem.assemble.assembler import Assembler
+
+        u_flat = np.asarray(u64)
+        asm = Assembler(F, bcs)
+        energy = float(asm.energy(
+            u64, {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)}
+        ))
+    else:
+        u_flat = eng.from_lane(u_lane)
+        u_cells = eng._gather_cells(u_lane)
+        fn, xarg, xax = eng._elem_args(u_lane.dtype)
+        e_cells = jax.vmap(fn, in_axes=(-1,) + xax + (-1,))(
+            u_cells, xarg, cc
+        )
+        valid = jnp.asarray(eng.plan.cell_valid)
+        energy = float(jnp.sum(jnp.where(valid, e_cells, 0.0)))
     timings["8.1 postprocess"] = time.perf_counter() - t0
 
     return PolycrystalResult(
