@@ -1054,6 +1054,7 @@ class LaneEngine:
                     u_cells, coeffs, v
                 )
             else:
+                u_cells = None
                 Araw = eng_.make_tangent(u_lin, coeffs)
 
             def A(v):
@@ -1064,9 +1065,10 @@ class LaneEngine:
                 if use_tl:
                     from tpufem.lane import twolevel as tlmod
 
-                    u_cells_m = eng_._gather_cells(u_lin)
+                    # u_cells hoisted: it only depends on the frozen
+                    # linearization state, not on r
                     return tlmod.precondition(
-                        eng_, _tl["static"], tl_data, u_cells_m, coeffs,
+                        eng_, _tl["static"], tl_data, u_cells, coeffs,
                         free, r,
                     )
                 return dinv * r
