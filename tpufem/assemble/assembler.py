@@ -32,6 +32,41 @@ from tpufem.forms.form import EnergyFunctional
 from tpufem.spaces.bc import DirichletBC, combine_bcs
 
 
+def _map_cell_slabs(fn, args, batch):
+    """Evaluate a cells-minor batched kernel slab-by-slab.
+
+    ``args`` is a pytree of cells-minor arrays ``(..., nc)``; ``fn`` maps a
+    slab pytree ``(..., batch)`` to outputs ``(..., batch)``. Cells are
+    padded (repeating the last cell) to a multiple of ``batch``, reshaped to
+    ``(n_slabs, ..., batch)``, and scanned with ``lax.map`` so XLA's
+    rematerialized temporaries are bounded by one slab instead of the whole
+    mesh — at millions of cells the monolithic fusion's padded HLO temps
+    (e.g. f32[8,nc,2,3] tiled T(2,128): 42x padding) exceed HBM.
+    Each slab keeps cells in the minor dim, so per-slab tiling is identical
+    to the monolithic kernel's.
+    """
+    leaves = jax.tree_util.tree_leaves(args)
+    nc = leaves[0].shape[-1]
+    pad = (-nc) % batch
+
+    def to_slabs(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.repeat(a[..., -1:], pad, axis=-1)], axis=-1
+            )
+        a = a.reshape(a.shape[:-1] + (-1, batch))
+        return jnp.moveaxis(a, -2, 0)
+
+    xs = jax.tree_util.tree_map(to_slabs, args)
+    ys = jax.lax.map(fn, xs)
+
+    def from_slabs(y):
+        y = jnp.moveaxis(y, 0, -2)
+        return y.reshape(y.shape[:-2] + (-1,))[..., :nc]
+
+    return jax.tree_util.tree_map(from_slabs, ys)
+
+
 class Assembler:
     def __init__(self, functional: EnergyFunctional,
                  bcs: Sequence[DirichletBC] = ()):
@@ -107,14 +142,23 @@ class Assembler:
 
     # -- element-level batched kernels ----------------------------------------
 
-    def element_vectors(self, u, coeffs: Dict[str, jnp.ndarray]):
+    def element_vectors(self, u, coeffs: Dict[str, jnp.ndarray],
+                        batch: Optional[int] = None):
         """(ndofe, nc) element residual vectors = ∂Πe/∂u_e (the ffcx
-        'tabulate_tensor vector kernel' analog), cells-minor layout."""
+        'tabulate_tensor vector kernel' analog), cells-minor layout.
+
+        ``batch``: evaluate in cell slabs of this size (bounds HBM temps
+        at multi-million-cell scale); None = one fused kernel."""
         u_cells = self.functional.gather(u)
         c_cells = self.functional.gather_coeffs(coeffs)
+        x_cells = self.functional.x_cells.astype(u.dtype)
         g = jax.vmap(jax.grad(self._energy_fn), in_axes=(-1, -1, -1),
                      out_axes=-1)
-        return g(u_cells, self.functional.x_cells.astype(u.dtype), c_cells)
+        if not batch or u_cells.shape[-1] <= batch:
+            return g(u_cells, x_cells, c_cells)
+        return _map_cell_slabs(
+            lambda a: g(*a), (u_cells, x_cells, c_cells), batch
+        )
 
     def element_matrices(self, u, coeffs: Dict[str, jnp.ndarray]):
         """(ndofe, ndofe, nc) consistent element tangents = ∂²Πe/∂u_e²
@@ -128,13 +172,21 @@ class Assembler:
 
     # -- global assembly -------------------------------------------------------
 
-    def energy(self, u, coeffs) -> jnp.ndarray:
+    def energy(self, u, coeffs, batch: Optional[int] = None) -> jnp.ndarray:
         """Total potential Π(u) (useful for validation/line search)."""
         u_cells = self.functional.gather(u)
         c_cells = self.functional.gather_coeffs(coeffs)
-        e = jax.vmap(self._energy_fn, in_axes=(-1, -1, -1))(
-            u_cells, self.functional.x_cells.astype(u.dtype), c_cells
-        )
+        x_cells = self.functional.x_cells.astype(u.dtype)
+        e_fn = jax.vmap(self._energy_fn, in_axes=(-1, -1, -1))
+        if not batch or u_cells.shape[-1] <= batch:
+            e = e_fn(u_cells, x_cells, c_cells)
+        else:
+            # per-cell energies come back (nc,) cells-minor via the slab
+            # map (out shape (batch,) per slab); padded cells are sliced
+            # off before the sum, so duplicates don't contribute
+            e = _map_cell_slabs(
+                lambda a: e_fn(*a), (u_cells, x_cells, c_cells), batch
+            )
         total = jnp.sum(e)
         for fn, dofmap, x_f, nrm in self._facet_fns:
             fe = jax.vmap(fn, in_axes=(0, 0, 0))(
@@ -143,9 +195,10 @@ class Assembler:
             total = total + jnp.sum(fe)
         return total
 
-    def residual(self, u, coeffs) -> jnp.ndarray:
+    def residual(self, u, coeffs,
+                 batch: Optional[int] = None) -> jnp.ndarray:
         """Assembled residual F(u) (no BC treatment)."""
-        ev = self.element_vectors(u, coeffs)
+        ev = self.element_vectors(u, coeffs, batch=batch)
         r = self._r_plan.apply(ev)
         for fn, dofmap, x_f, nrm in self._facet_fns:
             fv = jax.vmap(jax.grad(fn), in_axes=(0, 0, 0))(

@@ -114,7 +114,7 @@ def smooth_damage_sharded(
     """
     import jax
     from jax.sharding import Mesh as JaxMesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from tpufem.parallel.partition import partition_mesh
     from tpufem.spaces.space import FunctionSpace

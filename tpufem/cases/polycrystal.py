@@ -257,7 +257,8 @@ def run(
         u_flat = np.asarray(u64)
         asm = Assembler(F, bcs)
         energy = float(asm.energy(
-            u64, {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)}
+            u64, {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)},
+            batch=65536,
         ))
     else:
         u_flat = eng.from_lane(u_lane)

@@ -992,7 +992,8 @@ class LaneEngine:
 
     def make_mixed_solver(self, cfg: Optional[SolverConfig] = None, *,
                           cg_chunk: int = 20, fine_coeffs=None,
-                          twolevel_nc=None, inner_dtype=None):
+                          twolevel_nc=None, inner_dtype=None,
+                          f64_batch: int = 65536):
         """Mixed-precision defect-correction Newton-Krylov.
 
         Outer residuals, convergence control, line search and iterate
@@ -1035,7 +1036,10 @@ class LaneEngine:
 
         @jax.jit
         def rhs64(asm_, u_flat, coeffs_flat, free_flat):
-            r = asm_.residual(u_flat, coeffs_flat)
+            # slab-batched: one fused 2M-cell f64 residual kernel blows
+            # HBM via padded remat temps (42x tile padding on the tiny
+            # minor dims); slabs bound the temps at ~f64_batch cells
+            r = asm_.residual(u_flat, coeffs_flat, batch=f64_batch)
             b = -r * free_flat
             return b, jnp.sqrt(jnp.vdot(b, b))
 

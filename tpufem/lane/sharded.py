@@ -34,7 +34,7 @@ from typing import Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -415,14 +415,14 @@ class ShardedLaneEngine:
             shard_map(
                 functools.partial(res_body, which="residual"),
                 mesh=mesh, in_specs=specs_res,
-                out_specs=(P(AXIS), P(AXIS)), check_rep=False,
+                out_specs=(P(AXIS), P(AXIS)), check_vma=False,
             )
         )
         self._diag = jax.jit(
             shard_map(
                 functools.partial(res_body, which="diag"),
                 mesh=mesh, in_specs=specs_res,
-                out_specs=(P(AXIS), P(AXIS)), check_rep=False,
+                out_specs=(P(AXIS), P(AXIS)), check_vma=False,
             )
         )
 
@@ -438,7 +438,7 @@ class ShardedLaneEngine:
         self._tangent = jax.jit(
             shard_map(
                 tangent_body, mesh=mesh, in_specs=(P(AXIS),) * 7,
-                out_specs=P(AXIS), check_rep=False,
+                out_specs=P(AXIS), check_vma=False,
             )
         )
 
@@ -475,7 +475,7 @@ class ShardedLaneEngine:
                 shard_map(
                     functools.partial(cg_body, nsteps),
                     mesh=mesh, in_specs=(P(AXIS),) * 8,
-                    out_specs=(P(AXIS), P(AXIS)), check_rep=False,
+                    out_specs=(P(AXIS), P(AXIS)), check_vma=False,
                 )
             )
 
@@ -490,7 +490,7 @@ class ShardedLaneEngine:
         self._dot = jax.jit(
             shard_map(
                 dot_body, mesh=mesh, in_specs=(P(AXIS),) * 3,
-                out_specs=P(AXIS), check_rep=False,
+                out_specs=P(AXIS), check_vma=False,
             )
         )
 

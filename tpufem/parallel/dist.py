@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpufem.config import INDEX_DTYPE, SolverConfig
 from tpufem.forms.form import EnergyFunctional
@@ -385,7 +385,7 @@ class DistributedProblem:
             mesh=mesh,
             in_specs=(P(AXIS),) * 10 + (P(AXIS),),
             out_specs=(P(AXIS), P(AXIS)),
-            check_rep=False,
+            check_vma=False,
         )
 
         # pass the problem as a pytree argument so its tables are buffer

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpufem.config import SolverConfig
 from tpufem.structured.grid2d import StructuredGrid2D
@@ -229,7 +229,7 @@ class DistStructuredGrid2D:
             + (P(None, AXIS, None),)
             + (P(AXIS, None),) * len(names),
             out_specs=(P(None, AXIS, None), P(None)),
-            check_rep=False,
+            check_vma=False,
         )
         inner = jax.jit(inner)
 
