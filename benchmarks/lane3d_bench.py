@@ -77,10 +77,14 @@ def main():
 
         return jax.lax.fori_loop(0, iters, body, x)
 
+    # ~24 ms/iter: chunk dispatches to ~6 s of device work each (the
+    # runtime faults on single executions past ~20 s)
     reps = (64, 1064)
-    pr = slope_time("3D lane residual", chain_r, (eng32,), u0, reps)
+    pr = slope_time("3D lane residual", chain_r, (eng32,), u0, reps,
+                    chunk=256)
     print(f"  -> {ndofs/pr/1e9:.2f} GDoF/s residual", flush=True)
-    pt = slope_time("3D lane tangent ", chain_t, (eng32, u0), u0, reps)
+    pt = slope_time("3D lane tangent ", chain_t, (eng32, u0), u0, reps,
+                    chunk=256)
     print(f"  -> {ndofs/pt/1e9:.2f} GDoF/s tangent (CG-hoisted)",
           flush=True)
 

@@ -23,19 +23,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(label, chain, args, x0, reps=(64, 2064)):
+def slope_time(label, chain, args, x0, reps=(64, 2064), chunk=None):
     # the axon tunnel's per-dispatch round trip is 2-3 s and varies by
     # seconds run-to-run; the chain-length difference must put several
     # seconds of real device work between the two runs or the slope is
     # noise (negative values observed at 192-iteration differences)
     """chain(*args, x, iters) jitted with everything an argument (closure
-    constants rematerialize per call on this runtime)."""
+    constants rematerialize per call on this runtime).
+
+    ``chunk``: split each chain into dispatches of at most this many
+    iterations, fed back-to-back without host sync (one materialization
+    at the end). Long *single* executions (>~20 s) fault this runtime's
+    TPU worker — required for slow per-iter kernels (3D lane)."""
     x = chain(*args, x0, 1)
     float(np.asarray(x).ravel()[0])
 
     def run(r):
         t0 = time.perf_counter()
-        xx = chain(*args, x0, r)
+        xx = x0
+        if chunk:
+            left = r
+            while left > 0:
+                step = min(chunk, left)
+                xx = chain(*args, xx, step)
+                left -= step
+        else:
+            xx = chain(*args, xx, r)
         float(np.asarray(xx).ravel()[0])
         return time.perf_counter() - t0
 

@@ -108,6 +108,18 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     count, cells-per-bin and copy-window dims so plans built for
     different subdomains share static shapes (the multi-device
     composition stacks per-device plans along a shard axis)."""
+    import os
+    import time as _time
+
+    _dbg = bool(os.environ.get("TPUFEM_PLAN_DEBUG"))
+    _t = [_time.perf_counter()]
+
+    def _tick(label):
+        if _dbg:
+            now = _time.perf_counter()
+            print(f"  plan[{label}]: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
     x = np.asarray(mesh_x)
     cells = np.asarray(cells)
     n, nc = len(x), len(cells)
@@ -149,6 +161,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     row_in_bin = rank % wg_own
     G = max(int(bin_of.max()) + 1, min_G)
 
+    _tick("strips")
     # --- cells -> home bins -----------------------------------------------------
     # a cell may live in the home bin of ANY of its nodes; balance the
     # choice so the per-bin cell count (kc = padded max) stays near the
@@ -215,6 +228,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     cpos[csort] = np.arange(nc) - kstart[key_sorted]
     kc = max(_round_up(max(int(np.bincount(cell_key).max()), 1), 8), min_kc)
 
+    _tick("home-bins")
     # --- copies -----------------------------------------------------------------
     # (cell-bin-key, node) pairs where the node's home differs
     node_key = bin_of * N_LANES + lane_of  # home bin key per node
@@ -242,6 +256,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     owned_mask = np.zeros((R, N_LANES), dtype=bool)
     owned_mask[node_row, lane_of] = True
 
+    _tick("copies")
     # --- gather idx --------------------------------------------------------------
     # local offset per (cell, v): own row_in_bin, or wg_own + copy_rank
     off = np.empty(nc * nv, dtype=np.int64)
@@ -261,6 +276,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     cell_order[(g_arr * kc + cpos) * N_LANES + j_arr] = np.arange(nc)
     cell_valid = cell_order >= 0
 
+    _tick("gather-idx")
     # --- owner-sum / refresh passes -----------------------------------------------
     # copy slot: bin (gc, jc), row wg_own+i ; source: home slot of node
     gc = ubin // N_LANES
@@ -304,6 +320,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
             oidx[gh[sel], 0, row_in_bin[un[sel]], jh[sel]] = copy_rank[sel]
             owner_passes.append((int(p), int(q), oidx))
 
+    _tick("passes")
     tail_copy_slot = (
         (gc[tail_mask] * wg + wg_own + copy_rank[tail_mask]) * N_LANES
         + jc[tail_mask]
@@ -317,6 +334,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
         owner_passes=owner_passes, refresh_passes=refresh_passes,
         tail_copy_slot=tail_copy_slot, tail_owner_slot=tail_owner_slot,
     )
+    _tick("tail")
     # host copy-fill tables (vectorized)
     plan.copy_dst_rows = gc * wg + wg_own + copy_rank
     plan.copy_dst_lanes = jc
