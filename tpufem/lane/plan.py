@@ -181,6 +181,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
         axis=2, dtype=np.int8
     )
     res_def = resident.max(axis=1, keepdims=True) - resident  # 0 = best
+    _tick("home-bins/resident")
     # start from the first node's bin: regular meshes group same-bin
     # cells so their foreign nodes coincide (shared copies); ANY
     # reshuffle measurably spreads them (0.56x -> 0.81x copies on the
@@ -217,6 +218,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
             target += 8
             continue
         choice[movers[keep]] = best[movers[keep]]
+    _tick("home-bins/balance")
     home = cells[rows_nc, choice]
     cell_lane = lane_of[home]
     cell_bin = bin_of[home]
@@ -239,7 +241,9 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     # axis=0 unique on a 2-column array is a void-dtype sort and is
     # ~100x slower at millions of pairs
     pair_key = ck[foreign] * np.int64(n) + nd[foreign]
+    _tick("copies/pairkey")
     ukey, pair_inv_f = np.unique(pair_key, return_inverse=True)
+    _tick("copies/unique")
     upairs = np.stack([ukey // n, ukey % n], axis=1)
     # rank of each unique copy within its bin
     ubin = upairs[:, 0]
@@ -294,31 +298,46 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     # (p, q) combos than hold the other 98%)
     tail_mask = np.zeros(len(upairs), dtype=bool)
     min_count = max(int(pass_min_frac * len(upairs)), 1)
-    for p in np.unique(p_arr):
-        for q in np.unique(q_arr[p_arr == p]):
-            sel = (p_arr == p) & (q_arr == q)
-            if not sel.any():
-                continue
-            if sel.sum() < min_count:
-                tail_mask |= sel
-                continue
-            # refresh: dst copy (gc, wg_own+i, jc) <- src owned row
-            # in bin gc+q, lane jc+p: kernel runs values=roll(u, -p),
-            # window start (g+q)*wg, idx = row_in_bin of source
-            ridx = np.full((G, 1, wg_copy, N_LANES), -1, dtype=np.int32)
-            ridx[gc[sel], 0, copy_rank[sel], jc[sel]] = row_in_bin[un[sel]]
-            refresh_passes.append((int(p), int(q), ridx))
-            # owner-sum: dst owner (gh, row_in_bin, jh) <- copy partial
-            # at bin gh-q (==gc), lane jh-p (==jc), copy row i:
-            # kernel: values=roll(partial, +p)? -> source lane jh-p means
-            # roll(partial, p)[.., jh] = partial[.., jh-p]  => shift=-p
-            # window start (g-q)*wg + wg_own, idx = copy_rank
-            # V handling: multiple copies of the same owner in the SAME
-            # (p, q) pass cannot happen (a node has at most one copy per
-            # bin, and (p,q) fixes the bin) -> V=1
-            oidx = np.full((G, 1, wg_own, N_LANES), -1, dtype=np.int32)
-            oidx[gh[sel], 0, row_in_bin[un[sel]], jh[sel]] = copy_rank[sel]
-            owner_passes.append((int(p), int(q), oidx))
+    # group copies by (p, q) with one sort — scanning the full copy list
+    # per combo is O(combos x copies) and dominated plan build at 4M cells
+    if len(upairs):
+        p_min, q_min = int(p_arr.min()), int(q_arr.min())
+        q_span = int(q_arr.max()) - q_min + 1
+        pq_key = (p_arr - p_min) * q_span + (q_arr - q_min)
+        pq_order = np.argsort(pq_key, kind="stable")
+        pq_sorted = pq_key[pq_order]
+        pq_ukeys, pq_starts, pq_counts = np.unique(
+            pq_sorted, return_index=True, return_counts=True
+        )
+    else:
+        p_min = q_min = 0
+        q_span = 1
+        pq_order = np.zeros(0, dtype=np.int64)
+        pq_ukeys = pq_starts = pq_counts = np.zeros(0, dtype=np.int64)
+    for pq_k, pq_s, pq_c in zip(pq_ukeys, pq_starts, pq_counts):
+        sel = pq_order[pq_s : pq_s + pq_c]
+        p = int(pq_k // q_span) + p_min
+        q = int(pq_k % q_span) + q_min
+        if pq_c < min_count:
+            tail_mask[sel] = True
+            continue
+        # refresh: dst copy (gc, wg_own+i, jc) <- src owned row
+        # in bin gc+q, lane jc+p: kernel runs values=roll(u, -p),
+        # window start (g+q)*wg, idx = row_in_bin of source
+        ridx = np.full((G, 1, wg_copy, N_LANES), -1, dtype=np.int32)
+        ridx[gc[sel], 0, copy_rank[sel], jc[sel]] = row_in_bin[un[sel]]
+        refresh_passes.append((int(p), int(q), ridx))
+        # owner-sum: dst owner (gh, row_in_bin, jh) <- copy partial
+        # at bin gh-q (==gc), lane jh-p (==jc), copy row i:
+        # kernel: values=roll(partial, +p)? -> source lane jh-p means
+        # roll(partial, p)[.., jh] = partial[.., jh-p]  => shift=-p
+        # window start (g-q)*wg + wg_own, idx = copy_rank
+        # V handling: multiple copies of the same owner in the SAME
+        # (p, q) pass cannot happen (a node has at most one copy per
+        # bin, and (p,q) fixes the bin) -> V=1
+        oidx = np.full((G, 1, wg_own, N_LANES), -1, dtype=np.int32)
+        oidx[gh[sel], 0, row_in_bin[un[sel]], jh[sel]] = copy_rank[sel]
+        owner_passes.append((int(p), int(q), oidx))
 
     _tick("passes")
     tail_copy_slot = (
