@@ -116,10 +116,10 @@ class LaneEngine:
         self._elem_grad_block = self._elem_jvp_block = None
         if self._fused:
             M = p.G * p.kc * N_LANES
-            dN_h, w_h, xq_h = self._geom_host  # (M,nv,gd), (M,), (M,gd)
-            gd = xq_h.shape[1]
+            dN_h, w_h, xq_h = self._geom_host  # (nv,gd,M), (M,), (gd,M)
+            gd = xq_h.shape[0]
             rows = np.concatenate(
-                [dN_h.reshape(M, p.nv * gd).T, w_h[None, :], xq_h.T],
+                [dN_h.reshape(p.nv * gd, M), w_h[None, :], xq_h],
                 axis=0,
             )
             Dg = rows.shape[0]
@@ -236,60 +236,66 @@ class LaneEngine:
             if c.space.element.degree > 1:
                 return None
 
-        # host f64 geometry: physical gradients + weight + centroid
+        # host f64 geometry: physical gradients + weight + centroid,
+        # computed per scalar component (1-D gathers + 1-D arithmetic,
+        # results written straight into the final cells-minor layouts).
+        # The array-of-structs path — x[cells] into (M, nv, gdim) then
+        # transposed/ascontiguoused — cost ~170 s at 4M tets on a
+        # single-core host, nearly all in strided large-array copies.
         p = self.plan
         x = mesh.x.astype(np.float64)
         cells = np.asarray(self.space.dofmap)[self._safe_order]  # (M, nv)
-        xe = x[cells]  # (M, nv, gdim)
         nv = p.nv
-        gdim = xe.shape[2]
+        gdim = x.shape[1]
         dim = nv - 1
+        M = len(cells)
         import math
 
-        # direct simplex geometry (J = edge vectors; adjugate inverse) —
-        # the einsum + np.linalg.inv path costs ~30 s host time at 4.2M
-        # cells
-        J = np.ascontiguousarray(
-            (xe[:, 1:, :] - xe[:, :1, :]).transpose(0, 2, 1)
-        )  # (M, gdim, dim)
+        # per-component vertex coords and edge vectors (J columns)
+        xv = [[x[cells[:, v], d] for d in range(gdim)] for v in range(nv)]
+        E = [[xv[v + 1][d] - xv[0][d] for d in range(gdim)]
+             for v in range(dim)]
+        # adjugate inverse, rows Ji[i][j] = Jinv[i, j] as 1-D arrays
         if dim == 2:
-            a, b = J[:, 0, 0], J[:, 0, 1]
-            c, dd = J[:, 1, 0], J[:, 1, 1]
+            a, b = E[0][0], E[1][0]
+            c, dd = E[0][1], E[1][1]
             detJ = a * dd - b * c
             r = 1.0 / detJ
-            Jinv = np.empty_like(J)
-            Jinv[:, 0, 0] = dd * r
-            Jinv[:, 0, 1] = -b * r
-            Jinv[:, 1, 0] = -c * r
-            Jinv[:, 1, 1] = a * r
+            Ji = [[dd * r, -b * r], [-c * r, a * r]]
         else:
-            # NOTE: do not shadow outer names (``f`` is the functional)
-            a, b, c = J[:, 0, 0], J[:, 0, 1], J[:, 0, 2]
-            d3, e3, f3 = J[:, 1, 0], J[:, 1, 1], J[:, 1, 2]
-            g, h, i = J[:, 2, 0], J[:, 2, 1], J[:, 2, 2]
+            a, b, c = E[0][0], E[1][0], E[2][0]
+            d3, e3, f3 = E[0][1], E[1][1], E[2][1]
+            g, h, i = E[0][2], E[1][2], E[2][2]
             A = e3 * i - f3 * h
             B = f3 * g - d3 * i
             C = d3 * h - e3 * g
             detJ = a * A + b * B + c * C
             r = 1.0 / detJ
-            Jinv = np.empty_like(J)
-            Jinv[:, 0, 0] = A * r
-            Jinv[:, 0, 1] = (c * h - b * i) * r
-            Jinv[:, 0, 2] = (b * f3 - c * e3) * r
-            Jinv[:, 1, 0] = B * r
-            Jinv[:, 1, 1] = (a * i - c * g) * r
-            Jinv[:, 1, 2] = (c * d3 - a * f3) * r
-            Jinv[:, 2, 0] = C * r
-            Jinv[:, 2, 1] = (b * g - a * h) * r
-            Jinv[:, 2, 2] = (a * e3 - b * d3) * r
-        # dN_ref = [-1...; eye] -> dN[v=0] = -sum_d Jinv[d], dN[v>0] = Jinv[v-1]
-        dN = np.concatenate([-Jinv.sum(axis=1, keepdims=True), Jinv], axis=1)
+            Ji = [
+                [A * r, (c * h - b * i) * r, (b * f3 - c * e3) * r],
+                [B * r, (a * i - c * g) * r, (c * d3 - a * f3) * r],
+                [C * r, (b * g - a * h) * r, (a * e3 - b * d3) * r],
+            ]
+        # dN_ref = [-1...; eye] -> dN[0] = -sum_i Jinv[i], dN[v>0] = Jinv[v-1]
+        dN_t = np.empty((nv, gdim, M))  # final (nv, gdim, M) layout
+        for j in range(gdim):
+            s = Ji[0][j].copy()
+            for i_ in range(1, dim):
+                s += Ji[i_][j]
+            dN_t[0, j] = -s
+            for v in range(1, nv):
+                dN_t[v, j] = Ji[v - 1][j]
         w = np.abs(detJ) / math.factorial(dim)  # (M,)
-        xq = xe.mean(axis=1)  # (M, gdim)
-        self._geom_host = (dN, w, xq)
-        self.geom_dN = jnp.asarray(np.ascontiguousarray(dN.transpose(1, 2, 0)))
+        xq_t = np.empty((gdim, M))  # final (gdim, M) layout
+        for d in range(gdim):
+            s = xv[0][d].copy()
+            for v in range(1, nv):
+                s += xv[v][d]
+            xq_t[d] = s / nv
+        self._geom_host = (dN_t, w, xq_t)
+        self.geom_dN = jnp.asarray(dN_t)
         self.geom_w = jnp.asarray(w)
-        self.geom_xq = jnp.asarray(np.ascontiguousarray(xq.T))
+        self.geom_xq = jnp.asarray(xq_t)
 
         bs = self.bs
         integrand = term.integrand
