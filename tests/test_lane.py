@@ -241,6 +241,32 @@ def test_fused_kernel_matches_unfused():
     np.testing.assert_allclose(tf, tu, rtol=0, atol=1e-12 * np.abs(tu).max())
 
 
+def test_fused_kernel_k_block_matches():
+    """Sub-blocking the cells-per-bin axis (k_block grid dim with output
+    revisiting) is exact vs the single-block kernel — the configuration
+    3D bins need to stay under the vreg/VMEM budget."""
+    F, bcs, V, coeffs, _ = _problem(n=24, law="damage")
+    e_f = LaneEngine(F, bcs, interpret=True, fused=True)
+    assert e_f.plan.kc % 8 == 0 and e_f.plan.kc > 8
+    e_b = LaneEngine(F, bcs, interpret=True, fused=True)
+    e_b._fused_kb = 8  # force multi-sub-block even on the small mesh
+    rng = np.random.default_rng(9)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    v = rng.normal(size=V.n_dofs)
+    cf = e_f.prepare_coeffs(coeffs)
+    cb = e_b.prepare_coeffs(coeffs)
+    rf = np.asarray(e_f.from_lane(e_f.residual(e_f.to_lane(u), cf)))
+    rb = np.asarray(e_b.from_lane(e_b.residual(e_b.to_lane(u), cb)))
+    np.testing.assert_allclose(rb, rf, rtol=0, atol=1e-12 * np.abs(rf).max())
+    tf = np.asarray(e_f.from_lane(
+        e_f.tangent_action(e_f.to_lane(u), cf, e_f.to_lane(v))
+    ))
+    tb = np.asarray(e_b.from_lane(
+        e_b.tangent_action(e_b.to_lane(u), cb, e_b.to_lane(v))
+    ))
+    np.testing.assert_allclose(tb, tf, rtol=0, atol=1e-12 * np.abs(tf).max())
+
+
 def test_fused_kernel_no_coeffs():
     F, bcs, V, coeffs, _ = _problem(n=12, law="elastic")
     e_f = LaneEngine(F, bcs, interpret=True, fused=True)

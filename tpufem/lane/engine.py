@@ -114,6 +114,12 @@ class LaneEngine:
         self._fused = bool(fused) and self._fast_fn is not None
         self.fused_geom = None
         self._elem_grad_block = self._elem_jvp_block = None
+        # cap the per-grid-step cell block: big bins (3D: kc=192) make
+        # the unrolled gather/physics/scatter graph spill vregs past
+        # VMEM; sub-blocks revisit the output window (see kernels.py)
+        self._fused_kb = 0 if p.kc <= 64 else max(
+            d for d in (64, 48, 32, 24, 16, 8) if p.kc % d == 0
+        )
         if self._fused:
             M = p.G * p.kc * N_LANES
             dN_h, w_h, xq_h = self._geom_host  # (nv,gd,M), (M,), (gd,M)
@@ -746,7 +752,7 @@ class LaneEngine:
                 (u_lane,), self.gather_starts, self.gather_idx,
                 self._fused_cds(coeff_cells, u_lane.dtype),
                 self._elem_grad_block, wr=p.wg, nv=p.nv,
-                interpret=self.interpret,
+                k_block=self._fused_kb, interpret=self.interpret,
             )  # (G, bs, wg, 128)
             return self._owner_refresh(jnp.transpose(part, (1, 0, 2, 3)))
         cc = _strip_private(coeff_cells)
@@ -772,7 +778,7 @@ class LaneEngine:
                 (u_lane, v_lane), self.gather_starts, self.gather_idx,
                 self._fused_cds(coeff_cells, v_lane.dtype),
                 self._elem_jvp_block, wr=p.wg, nv=p.nv,
-                interpret=self.interpret,
+                k_block=self._fused_kb, interpret=self.interpret,
             )
             return self._owner_refresh(jnp.transpose(part, (1, 0, 2, 3)))
         u_cells = self._gather_cells(u_lane)

@@ -365,7 +365,8 @@ def lane_pass_update(values, starts, idx, *, wr: int, wg: int, shifts,
 
 
 def lane_fused_elem(values, starts, idx, cell_data, elem_fn, *,
-                    wr: int, nv: int, interpret: bool = False):
+                    wr: int, nv: int, k_block: int = 0,
+                    interpret: bool = False):
     """Fused gather -> element function -> bin scatter (ONE HBM pass).
 
     The per-iteration hot path of unstructured assembly: the unfused
@@ -379,10 +380,17 @@ def lane_fused_elem(values, starts, idx, cell_data, elem_fn, *,
     starts (T,) int32 window row starts; idx (T, nv, K, 128) in [-1, wr).
     cell_data: tuple of (T, D_i, K, 128) per-cell row blocks (static
       geometry, runtime coefficients) streamed via the grid pipeline.
-    elem_fn(u_blocks, cds) with u_blocks a tuple of (nv*C, K, 128)
-      arrays and cds the tuple of (D_i, K, 128) blocks, returning the
-      element vectors (nv*C, K, 128) (vmapped physics — traced INTO the
-      kernel).
+    elem_fn(u_blocks, cds) with u_blocks a tuple of (nv*C, KB, 128)
+      arrays and cds the tuple of (D_i, KB, 128) blocks, returning the
+      element vectors (nv*C, KB, 128) (vmapped physics — traced INTO
+      the kernel).
+
+    ``k_block``: split the K (cells-per-bin) axis into sub-blocks of
+    this size (must divide K; 0 = no split). Each sub-block is a grid
+    step revisiting the same output window (accumulated in place; the
+    solution window is DMA'd once per bin). Bounds the live vreg set of
+    the unrolled gather/physics/scatter graph — 3D elasticity at
+    K=192 spills ~158M of vregs unblocked, which exceeds VMEM.
 
     Returns (T, C, wr, 128) bin partials:
       out[t,c,r,j] = sum_{v,k: idx[t,v,k,j]==r} ev[v*C+c, k, j]
@@ -392,6 +400,9 @@ def lane_fused_elem(values, starts, idx, cell_data, elem_fn, *,
     C, R, L = values[0].shape
     T, NV, K, _ = idx.shape
     assert NV == nv
+    KB = k_block if k_block else K
+    assert K % KB == 0
+    NKB = K // KB
 
     def kern(start_ref, idx_ref, *refs):
         cd_refs = refs[:n_cd]
@@ -400,16 +411,23 @@ def lane_fused_elem(values, starts, idx, cell_data, elem_fn, *,
         wins = refs[n_cd + n_states + 1 : n_cd + 2 * n_states + 1]
         sems = refs[n_cd + 2 * n_states + 1 :]
         t = pl.program_id(0)
+        kb = pl.program_id(1)
         s = start_ref[t]
-        dmas = [
-            pltpu.make_async_copy(h.at[:, pl.ds(s, wr), :], w, sm)
-            for h, w, sm in zip(v_hbms, wins, sems)
-        ]
-        for d in dmas:
-            d.start()
-        for d in dmas:
-            d.wait()
-        ids = idx_ref[0].astype(jnp.int32)  # (nv, K, L)
+
+        # the solution window serves every sub-block of the bin: DMA it
+        # on the first one only (scratch persists across grid steps)
+        @pl.when(kb == 0)
+        def _load():
+            dmas = [
+                pltpu.make_async_copy(h.at[:, pl.ds(s, wr), :], w, sm)
+                for h, w, sm in zip(v_hbms, wins, sems)
+            ]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
+        ids = idx_ref[0].astype(jnp.int32)  # (nv, KB, L)
         dt = values[0].dtype
         u_blocks = []
         for w in wins:
@@ -417,41 +435,52 @@ def lane_fused_elem(values, starts, idx, cell_data, elem_fn, *,
             rows = []
             for v in range(nv):
                 for c in range(C):
-                    acc = jnp.zeros((K, L), dt)
+                    acc = jnp.zeros((KB, L), dt)
                     for r in range(wr):
                         acc = acc + jnp.where(
                             ids[v] == r, ww[c, r : r + 1, :], 0.0
                         )
                     rows.append(acc)
-            u_blocks.append(jnp.stack(rows))  # (nv*C, K, L)
+            u_blocks.append(jnp.stack(rows))  # (nv*C, KB, L)
         ev = elem_fn(
             tuple(u_blocks), tuple(cd[0] for cd in cd_refs)
-        )  # (nv*C, K, L), row v*C+c
+        )  # (nv*C, KB, L), row v*C+c
         # scatter: per output channel c, accumulate rows
         iota = jax.lax.broadcasted_iota(jnp.int32, (wr, L), 0)
-        ids_flat = ids.reshape(nv * K, L)
+        ids_flat = ids.reshape(nv * KB, L)
         for c in range(C):
             acc = jnp.zeros((wr, L), dt)
-            evf = ev.reshape(nv, C, K, L)[:, c].reshape(nv * K, L)
-            for r in range(nv * K):
+            evf = ev.reshape(nv, C, KB, L)[:, c].reshape(nv * KB, L)
+            for r in range(nv * KB):
                 acc = acc + jnp.where(
                     iota == ids_flat[r : r + 1, :], evf[r : r + 1, :], 0.0
                 )
-            o_ref[0, c] = acc
+            if NKB == 1:
+                o_ref[0, c] = acc
+            else:
+                # revisited output window: init on the first sub-block
+                @pl.when(kb == 0)
+                def _init(c=c, acc=acc):
+                    o_ref[0, c] = acc
+
+                @pl.when(kb != 0)
+                def _accum(c=c, acc=acc):
+                    o_ref[0, c] = o_ref[0, c] + acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T, NKB),
         in_specs=[
-            pl.BlockSpec((1, NV, K, L), lambda t, s: (t, 0, 0, 0),
+            pl.BlockSpec((1, NV, KB, L), lambda t, kb, s: (t, 0, kb, 0),
                          memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1,) + cd.shape[1:], lambda t, s: (t, 0, 0, 0),
+            pl.BlockSpec((1, cd.shape[1], KB, L),
+                         lambda t, kb, s: (t, 0, kb, 0),
                          memory_space=pltpu.VMEM)
             for cd in cell_data
         ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_states,
         out_specs=pl.BlockSpec(
-            (1, C, wr, L), lambda t, s: (t, 0, 0, 0),
+            (1, C, wr, L), lambda t, kb, s: (t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
