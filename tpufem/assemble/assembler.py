@@ -47,6 +47,20 @@ def _map_cell_slabs(fn, args, batch):
     """
     leaves = jax.tree_util.tree_leaves(args)
     nc = leaves[0].shape[-1]
+
+    # prep/unprep run under jit: called eagerly, the pad slice/concat on
+    # a (small, small, nc) f64 array compiles a standalone program whose
+    # argument copy is tiled on the two SMALL dims — 42x padding, 11.8G
+    # at 6.2M cells (observed OOM in the polycrystal postprocess). Under
+    # jit the whole prep fuses with XLA-chosen compact layouts.
+    xs = _slab_prep(args, batch)
+    ys = jax.lax.map(fn, xs)
+    return _slab_unprep(ys, nc)
+
+
+@functools.partial(jax.jit, static_argnames=("batch",))
+def _slab_prep(args, batch):
+    nc = jax.tree_util.tree_leaves(args)[0].shape[-1]
     pad = (-nc) % batch
 
     def to_slabs(a):
@@ -57,9 +71,11 @@ def _map_cell_slabs(fn, args, batch):
         a = a.reshape(a.shape[:-1] + (-1, batch))
         return jnp.moveaxis(a, -2, 0)
 
-    xs = jax.tree_util.tree_map(to_slabs, args)
-    ys = jax.lax.map(fn, xs)
+    return jax.tree_util.tree_map(to_slabs, args)
 
+
+@functools.partial(jax.jit, static_argnames=("nc",))
+def _slab_unprep(ys, nc):
     def from_slabs(y):
         y = jnp.moveaxis(y, 0, -2)
         return y.reshape(y.shape[:-2] + (-1,))[..., :nc]
