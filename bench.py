@@ -151,7 +151,7 @@ def _bench_unstructured(n: int = 1024, *, jitter: bool = True):
     )
     F = EnergyFunctional(V, [term], [Coefficient("d", DS)])
     left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
-    eng = LaneEngine(F, [DirichletBC(V, left, [0.0, 0.0])])
+    eng = LaneEngine(F, [DirichletBC(V, left, [0.0, 0.0])], fused=True)
     cc = jax.tree.map(
         lambda a: a.astype(jnp.float32),
         eng.prepare_coeffs({"d": jnp.asarray(d)}),
