@@ -22,6 +22,7 @@ the first multi-device integration test per SURVEY.md §3.5.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -35,25 +36,33 @@ from tpufem.mesh.topology import build_entities, vertex_to_entity
 
 def node_adjacency_ell(mesh: Mesh):
     """Padded neighbor table via edges: (neighbors (n, k), mask (n, k),
-    inv_degree (n,)). Neighbor j of node i ⇔ edge (i,j) exists."""
+    inv_degree (n,)). Neighbor j of node i ⇔ edge (i,j) exists.
+
+    Padding entries point at the sentinel slot ``n`` (gather from a
+    zero-extended vector instead of a mask multiply); ``mask`` is kept
+    in the return for API stability but is None."""
     edges, _ = build_entities(mesh, 1)
     n = mesh.n_nodes
-    # undirected: both directions
-    src = np.concatenate([edges[:, 0], edges[:, 1]])
-    dst = np.concatenate([edges[:, 1], edges[:, 0]])
+    # undirected: both directions; int32 throughout — the int64
+    # intermediates measurably dominate at ~3M edges on this host
+    src = np.concatenate([edges[:, 0], edges[:, 1]]).astype(
+        np.int32, copy=False
+    )
+    dst = np.concatenate([edges[:, 1], edges[:, 0]]).astype(
+        np.int32, copy=False
+    )
     order = np.argsort(src, kind="stable")
     src, dst = src[order], dst[order]
     deg = np.bincount(src, minlength=n)
     k = int(deg.max()) if n else 0
     start = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=start[1:])
-    neighbors = np.zeros((n, k), dtype=INDEX_DTYPE)
-    mask = np.zeros((n, k), dtype=bool)
-    within = np.arange(len(src)) - start[src]
+    neighbors = np.full((n, k), n, dtype=INDEX_DTYPE)  # pad -> slot n
+    within = np.arange(len(src), dtype=np.int64)
+    within -= start[src]
     neighbors[src, within] = dst
-    mask[src, within] = True
     inv_deg = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
-    return neighbors, mask, inv_deg
+    return neighbors, None, inv_deg
 
 
 def initial_damage(
@@ -74,18 +83,15 @@ def initial_damage(
     return d
 
 
-def smooth_damage(
-    mesh: Mesh, d0: np.ndarray, *, iterations: int, dtype=None
-) -> jnp.ndarray:
-    """Run the two-half-step smoothing loop on device; returns final d."""
-    neighbors, mask, inv_deg = node_adjacency_ell(mesh)
-    nb = jnp.asarray(neighbors)
-    mk = jnp.asarray(mask, dtype=d0.dtype if dtype is None else dtype)
-    w = jnp.asarray(inv_deg, dtype=mk.dtype)
-    d = jnp.asarray(d0, dtype=mk.dtype)
-
+@functools.partial(jax.jit, static_argnums=(3,))
+def _smooth_loop(d, nb, w, iterations):
+    # nb/w are *arguments*, not closure captures: capturing the
+    # multi-MB neighbor tables embeds them as HLO constants and blows
+    # trace+compile time ~40x at 1M nodes
     def neighbor_avg(dv):
-        return jnp.sum(dv[nb] * mk, axis=1) * w
+        # padding entries of nb point at the appended zero slot
+        ext = jnp.concatenate([dv, jnp.zeros((1,), dv.dtype)])
+        return jnp.sum(ext[nb], axis=1) * w
 
     def body(_, dv):
         # half 1: enlarge — only currently-undamaged nodes updated
@@ -98,6 +104,18 @@ def smooth_damage(
         return dv
 
     return jax.lax.fori_loop(0, iterations, body, d)
+
+
+def smooth_damage(
+    mesh: Mesh, d0: np.ndarray, *, iterations: int, dtype=None
+) -> jnp.ndarray:
+    """Run the two-half-step smoothing loop on device; returns final d."""
+    neighbors, _, inv_deg = node_adjacency_ell(mesh)
+    dt = jnp.asarray(d0).dtype if dtype is None else dtype
+    nb = jnp.asarray(neighbors)
+    w = jnp.asarray(inv_deg, dtype=dt)
+    d = jnp.asarray(d0, dtype=dt)
+    return _smooth_loop(d, nb, w, iterations)
 
 
 def smooth_damage_sharded(

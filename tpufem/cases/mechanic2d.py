@@ -212,6 +212,7 @@ def run(cfg: Optional[Mechanic2DConfig] = None, mesh=None) -> Mechanic2DResult:
     cfg = cfg or Mechanic2DConfig()
     tm = PhaseTimers()
     with tm.phase("1 Initialize"):
+        tconfig.enable_persistent_cache()
         dtype = tconfig.default_dtype()
 
     asm, coeffs, V, mesh, aux = setup(cfg, mesh=mesh, timers=tm)

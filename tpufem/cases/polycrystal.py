@@ -138,6 +138,9 @@ def run(
     import jax
     import jax.numpy as jnp
 
+    from tpufem.config import enable_persistent_cache
+
+    enable_persistent_cache()
     from tpufem.cases import mechanic2d
     from tpufem.cases.damage import smooth_damage
     from tpufem.forms import EnergyFunctional, asym_damage_psi

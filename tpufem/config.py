@@ -106,3 +106,22 @@ def data_path(name: str) -> str:
     """Path to a bundled data file (meshes for tests)."""
     here = os.path.dirname(os.path.abspath(__file__))
     return os.path.join(here, "data", name)
+
+
+def enable_persistent_cache(path: str = None) -> None:
+    """Point JAX's persistent compilation cache at <repo>/.jax_cache.
+
+    Remote (axon-tunnel) TPU compiles and this host's XLA:CPU compiles
+    are both slow enough (tens of seconds for small graphs) that every
+    entry-point run should reuse compiled executables across processes.
+    Safe to call repeatedly; no-op if a cache dir is already configured.
+    """
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    if path is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(os.path.dirname(here), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

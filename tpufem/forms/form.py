@@ -158,8 +158,10 @@ class EnergyFunctional:
         # LAYOUT: cells in the MINOR (last) dimension — on TPU the minor
         # dim maps to the 128 vector lanes, so per-cell scalars tile
         # densely; a (nc, 6) layout would waste 122/128 lanes per tile.
+        from tpufem.utils.hostops import cells_minor_coords
+
         self._x_cells = jnp.asarray(
-            np.ascontiguousarray(mesh.x[mesh.cells].transpose(1, 2, 0))
+            cells_minor_coords(mesh.x, mesh.cells)
         )  # (nvg, gdim, nc)
         vdm = space.vector_dofmap()
         self._vec_dofmap = vdm  # (nc, ndof*bs) host-side (plan building)

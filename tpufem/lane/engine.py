@@ -80,8 +80,16 @@ class LaneEngine:
         # per-cell vertex coordinates from the HOST mesh arrays — never
         # functional.x_cells, which lives on device: pulling it back
         # through the axon tunnel measured 301 s at 2.1M cells
-        x_cells = mesh.x[mesh.cells]  # (nc, nvg, gdim)
-        x_lane_h = np.ascontiguousarray(x_cells[safe].transpose(1, 2, 0))
+        # component-wise 1D gathers straight into (nvg, gdim, M) — the
+        # x[cells] AoS gather + strided transpose measured ~6x slower
+        # at 2M cells (utils/hostops.py)
+        nvg_, gdim_ = mesh.cells.shape[1], mesh.x.shape[1]
+        xT_ = [np.ascontiguousarray(mesh.x[:, d]) for d in range(gdim_)]
+        x_lane_h = np.empty((nvg_, gdim_, len(safe)), dtype=mesh.x.dtype)
+        for v_ in range(nvg_):
+            col_ = mesh.cells[:, v_][safe]
+            for d_ in range(gdim_):
+                x_lane_h[v_, d_] = xT_[d_][col_]
         self.x_lane = jnp.asarray(x_lane_h)  # (nvg, gdim, M)
         self._coeff_dofmaps = {
             c.name: c.space.vector_dofmap() for c in functional.coefficients

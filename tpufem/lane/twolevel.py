@@ -230,7 +230,8 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
         vals = np.asarray(fine_coeffs[c.name])
         if c.space.element.degree == 0:
             if cell_tree is None:
-                cent = mesh.x[mesh.cells].mean(axis=1)[:, :2]
+                from tpufem.utils.hostops import cell_centroids
+                cent = cell_centroids(mesh.x, mesh.cells)[:, :2]
                 cell_tree = cKDTree(cent)
             # centroids of the two lattice triangles per cell
             cyx = np.stack(

@@ -70,7 +70,9 @@ def _rcb_order_split(centroids: np.ndarray, idx: np.ndarray, k: int):
 
 def rcb_partition(mesh: Mesh, n_shards: int) -> np.ndarray:
     """(n_cells,) part id per cell by recursive coordinate bisection."""
-    centroids = mesh.x[mesh.cells].mean(axis=1)
+    from tpufem.utils.hostops import cell_centroids
+
+    centroids = cell_centroids(mesh.x, mesh.cells)
     parts = _rcb_order_split(
         centroids, np.arange(mesh.n_cells, dtype=np.int64), n_shards
     )
@@ -82,7 +84,9 @@ def rcb_partition(mesh: Mesh, n_shards: int) -> np.ndarray:
 
 def sfc_partition(mesh: Mesh, n_shards: int) -> np.ndarray:
     """(n_cells,) part id per cell: contiguous Morton-curve chunks."""
-    centroids = mesh.x[mesh.cells].mean(axis=1)
+    from tpufem.utils.hostops import cell_centroids
+
+    centroids = cell_centroids(mesh.x, mesh.cells)
     order = _morton_order(centroids)
     bounds = np.linspace(0, mesh.n_cells, n_shards + 1).astype(np.int64)
     cell_part = np.empty(mesh.n_cells, dtype=np.int64)

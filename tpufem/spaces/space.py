@@ -47,8 +47,13 @@ class FunctionSpace:
         """Expanded (n_cells, ndof_cell*bs) dofmap with byVDIM blocking."""
         if self.bs == 1:
             return self.dofmap
-        dm = self.dofmap[:, :, None] * self.bs + np.arange(self.bs)[None, None, :]
-        return dm.reshape(self.dofmap.shape[0], -1).astype(INDEX_DTYPE)
+        # stay in INDEX_DTYPE: the int64 broadcast + astype costs a full
+        # extra pass over ~nc*ndof*bs entries at multi-M cells
+        dm = self.dofmap[:, :, None].astype(INDEX_DTYPE, copy=False) * \
+            INDEX_DTYPE(self.bs) + np.arange(self.bs, dtype=INDEX_DTYPE)
+        return np.ascontiguousarray(
+            dm.reshape(self.dofmap.shape[0], -1)
+        )
 
 
 def _build_dofmap(mesh: Mesh, el: Element):
@@ -56,7 +61,9 @@ def _build_dofmap(mesh: Mesh, el: Element):
     if el.degree == 0:
         dofmap = np.arange(mesh.n_cells, dtype=INDEX_DTYPE)[:, None]
         # centroid coordinates
-        coords = mesh.x[mesh.cells].mean(axis=1)
+        from tpufem.utils.hostops import cell_centroids
+
+        coords = cell_centroids(mesh.x, mesh.cells)
         return dofmap, mesh.n_cells, coords
 
     n_vertex = mesh.n_nodes
@@ -91,7 +98,9 @@ def _build_dofmap(mesh: Mesh, el: Element):
                 )
             ).astype(INDEX_DTYPE)
             blocks.append(cell_block)
-            coords.append(mesh.x[mesh.cells].mean(axis=1))
+            from tpufem.utils.hostops import cell_centroids
+
+            coords.append(cell_centroids(mesh.x, mesh.cells))
             ndofs += mesh.n_cells * n_cell_dofs
         dofmap = np.concatenate(blocks, axis=1).astype(INDEX_DTYPE)
         return dofmap, ndofs, np.concatenate(coords, axis=0)
