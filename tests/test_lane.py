@@ -125,6 +125,26 @@ def test_residual_tangent_match_assembler():
     assert np.abs(cp - hm).max() < 1e-12
 
 
+def test_store_f32_residual_and_lazy_x_lane():
+    """store_dtype=f32: the fast path skips the x_lane upload entirely
+    and keeps all float state in f32; residuals match the flat f64
+    Assembler to f32 accuracy (the mixed solver's inner contract)."""
+    F, bcs, V, coeffs, asm = _problem(16)
+    eng = LaneEngine(F, bcs, wg_own=8, interpret=True,
+                     store_dtype=np.float32)
+    assert eng.x_lane is None  # P1 fast path active -> no upload
+    assert eng.geom_dN.dtype == jnp.float32
+    assert eng.free_lane.dtype == jnp.float32
+    rng = np.random.default_rng(3)
+    u_flat = rng.normal(size=V.n_dofs) * 1e-3
+    cc = eng.prepare_coeffs(coeffs)
+    assert all(v.dtype == jnp.float32 for v in cc.values())
+    u_lane = jnp.asarray(eng.to_lane(u_flat)).astype(jnp.float32)
+    r = eng.from_lane(eng.residual(u_lane, cc))
+    r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), coeffs))
+    assert np.abs(r - r_ref).max() < 1e-5 * np.abs(r_ref).max()
+
+
 def test_generic_path_matches_fast_path():
     """Force the generic element pipeline (multi-term functional) and
     check it against the flat Assembler too."""

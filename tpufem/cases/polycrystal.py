@@ -214,7 +214,14 @@ def run(
     timings["5.1 dirichlet setting"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    eng = LaneEngine(F, bcs, wg_own=wg_own, interpret=interpret)
+    # mixed runs keep all lane-engine state in f32 (the inner-CG
+    # dtype): halves every setup upload through the axon tunnel; the
+    # f64 outer residuals come from the flat Assembler, so accuracy
+    # is unchanged (tests/test_lane.py::test_store_f32_residual_and_lazy_x_lane)
+    eng = LaneEngine(
+        F, bcs, wg_own=wg_own, interpret=interpret,
+        store_dtype=(np.float32 if mixed else None),
+    )
     cc = eng.prepare_coeffs(
         {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)}
     )

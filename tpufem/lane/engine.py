@@ -50,6 +50,7 @@ class LaneEngine:
         plan: Optional[LanePlan] = None,
         interpret: bool = False,
         fused: bool = False,
+        store_dtype=None,
     ):
         space = functional.space
         if space.element.degree < 1:
@@ -58,6 +59,13 @@ class LaneEngine:
         self.space = space
         self.bs = space.bs
         self.interpret = interpret
+        # storage dtype for float device state (geometry, masks, BC
+        # values). f32 halves every host->device upload — at 6.2M DoF
+        # through the axon tunnel the f64 uploads are the dominant
+        # setup cost. Use f32 ONLY with the mixed-precision solver
+        # (f64 outer residuals come from the flat Assembler); an f64
+        # lane solve on f32-stored geometry is only f32-accurate.
+        self.store_dtype = np.dtype(store_dtype) if store_dtype else None
         mesh = space.mesh
         # plan over scalar-dof "nodes": for P1 these are the mesh
         # vertices; for P2/Q2 the vertex+edge(+face/cell) dof points —
@@ -72,25 +80,11 @@ class LaneEngine:
         # cells-minor vmap — see element_energy_fn_elementwise)
         self._energy_fn = functional.element_energy_fn_elementwise()
 
-        # per-cell static geometry in lane-cell order (padded cells get
-        # cell 0's geometry — their contributions are dropped by the
-        # dest_idx = -1 sentinel, so they only need to be NaN-free)
+        # padded lane cells get cell 0's data — their contributions are
+        # dropped by the dest_idx = -1 sentinel, so they only need to
+        # be NaN-free
         order = np.asarray(p.cell_order)
         safe = np.where(order >= 0, order, 0)
-        # per-cell vertex coordinates from the HOST mesh arrays — never
-        # functional.x_cells, which lives on device: pulling it back
-        # through the axon tunnel measured 301 s at 2.1M cells
-        # component-wise 1D gathers straight into (nvg, gdim, M) — the
-        # x[cells] AoS gather + strided transpose measured ~6x slower
-        # at 2M cells (utils/hostops.py)
-        nvg_, gdim_ = mesh.cells.shape[1], mesh.x.shape[1]
-        xT_ = [np.ascontiguousarray(mesh.x[:, d]) for d in range(gdim_)]
-        x_lane_h = np.empty((nvg_, gdim_, len(safe)), dtype=mesh.x.dtype)
-        for v_ in range(nvg_):
-            col_ = mesh.cells[:, v_][safe]
-            for d_ in range(gdim_):
-                x_lane_h[v_, d_] = xT_[d_][col_]
-        self.x_lane = jnp.asarray(x_lane_h)  # (nvg, gdim, M)
         self._coeff_dofmaps = {
             c.name: c.space.vector_dofmap() for c in functional.coefficients
         }
@@ -105,6 +99,30 @@ class LaneEngine:
         self.geom_dN = self.geom_w = self.geom_xq = None
         self._geom_host = None
         self._fast_fn = self._try_specialize_p1()
+        # per-cell vertex coordinates for the GENERIC element path only
+        # — when the P1 fast path is active the physics reads the
+        # precomputed geom_dN/w/xq instead, and uploading x_lane would
+        # be ~nv*gdim*M*8 bytes of dead tunnel traffic (~300 MB at
+        # 6.2M DoF). Built from the HOST mesh arrays — never
+        # functional.x_cells, which lives on device: pulling it back
+        # through the axon tunnel measured 301 s at 2.1M cells.
+        # Component-wise 1D gathers straight into (nvg, gdim, M) — the
+        # x[cells] AoS gather + strided transpose measured ~6x slower
+        # at 2M cells (utils/hostops.py)
+        if self._fast_fn is None:
+            nvg_, gdim_ = mesh.cells.shape[1], mesh.x.shape[1]
+            xT_ = [np.ascontiguousarray(mesh.x[:, d])
+                   for d in range(gdim_)]
+            x_lane_h = np.empty(
+                (nvg_, gdim_, len(safe)), dtype=mesh.x.dtype
+            )
+            for v_ in range(nvg_):
+                col_ = mesh.cells[:, v_][safe]
+                for d_ in range(gdim_):
+                    x_lane_h[v_, d_] = xT_[d_][col_]
+            self.x_lane = self._store(x_lane_h)  # (nvg, gdim, M)
+        else:
+            self.x_lane = None
         # reduced-variable physics: differentiate w.r.t. the per-cell
         # gradient components instead of the 6 dofs. The vmapped
         # dof-level grad makes XLA materialize [M,2,2] eps/sigma
@@ -137,7 +155,7 @@ class LaneEngine:
                 axis=0,
             )
             Dg = rows.shape[0]
-            self.fused_geom = jnp.asarray(
+            self.fused_geom = self._store(
                 np.ascontiguousarray(
                     rows.reshape(Dg, p.G, p.kc, N_LANES).transpose(1, 0, 2, 3)
                 )
@@ -219,15 +237,23 @@ class LaneEngine:
             bc_dofs = np.zeros(0, dtype=np.int64)
             bc_vals = np.zeros(0)
             bc_mask = np.zeros(space.n_dofs, dtype=bool)
-        self.free_lane = jnp.asarray(
+        self.free_lane = self._store(
             p.to_lane((~bc_mask).astype(np.float64), self.bs)
         )
         bcv = np.zeros(space.n_dofs)
         bcv[bc_dofs] = bc_vals
-        self.bc_lane = jnp.asarray(p.to_lane(bcv, self.bs))
-        self.owned_w = jnp.asarray(
+        self.bc_lane = self._store(p.to_lane(bcv, self.bs))
+        self.owned_w = self._store(
             p.owned_mask.astype(np.float64)[None, :, :]
         )  # (1, R, 128) dot weights
+
+    def _store(self, a) -> jnp.ndarray:
+        """Upload a host float array at the storage dtype (host-side
+        cast, so the tunnel moves the narrow bytes)."""
+        a = np.asarray(a)
+        if self.store_dtype is not None and a.dtype != self.store_dtype:
+            a = a.astype(self.store_dtype)
+        return jnp.asarray(a)
 
     def _try_specialize_p1(self):
         """If the functional is a single degree-1 cell term on a simplex
@@ -307,9 +333,9 @@ class LaneEngine:
                 s += xv[v][d]
             xq_t[d] = s / nv
         self._geom_host = (dN_t, w, xq_t)
-        self.geom_dN = jnp.asarray(dN_t)
-        self.geom_w = jnp.asarray(w)
-        self.geom_xq = jnp.asarray(xq_t)
+        self.geom_dN = self._store(dN_t)
+        self.geom_w = self._store(w)
+        self.geom_xq = self._store(xq_t)
 
         bs = self.bs
         integrand = term.integrand
@@ -653,7 +679,7 @@ class LaneEngine:
             host[name] = np.ascontiguousarray(
                 per_cell[self._safe_order].T
             )  # (ndc, M)
-        out = {k: jnp.asarray(v) for k, v in host.items()}
+        out = {k: self._store(v) for k, v in host.items()}
         if host and self._fused:
             p = self.plan
             cdc = np.concatenate(
@@ -661,7 +687,7 @@ class LaneEngine:
                 axis=0,
             )
             cdc = cdc.reshape(-1, p.G, p.kc, N_LANES).transpose(1, 0, 2, 3)
-            out["_cd"] = jnp.asarray(np.ascontiguousarray(cdc))
+            out["_cd"] = self._store(np.ascontiguousarray(cdc))
         return out
 
     # -- movement pieces --------------------------------------------------------
