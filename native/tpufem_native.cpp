@@ -209,4 +209,87 @@ void morton_order(const double* coords, int64_t n, int64_t dim,
     for (int64_t i = 0; i < n; ++i) out_order[i] = keys[i].second;
 }
 
+// Balance the lane planner's cell->home-bin assignment
+// (tpufem/lane/plan.py "home-bins" stage). Each cell may be homed in
+// any of its nv nodes' bins (cand gives the candidate bin keys); start
+// from node 0's bin and move cells out of bins loaded past the target,
+// only into candidate bins of maximal residency (number of the cell's
+// nodes homed there — fewer copy slots) with spare room; raise the
+// target by 8 when no move is possible. Online load updates give the
+// same damping as the NumPy round quotas. Writes the chosen candidate
+// INDEX (0..nv-1) per cell; returns the final target.
+int64_t lane_balance(const int64_t* cand, int64_t nc, int64_t nv,
+                     int64_t n_keys, int64_t target0, int64_t* choice) {
+    std::vector<int64_t> loads(n_keys, 0);
+    std::vector<int8_t> allowed(nc * nv);
+    for (int64_t i = 0; i < nc; ++i) {
+        const int64_t* c = cand + i * nv;
+        int8_t res[16];
+        int8_t mx = 0;
+        for (int64_t a = 0; a < nv; ++a) {
+            int8_t r = 0;
+            for (int64_t b = 0; b < nv; ++b) r += (c[a] == c[b]);
+            res[a] = r;
+            mx = std::max(mx, r);
+        }
+        for (int64_t a = 0; a < nv; ++a)
+            allowed[i * nv + a] = (res[a] == mx);
+        choice[i] = 0;
+        loads[c[0]]++;
+    }
+    int64_t target = target0;
+    for (int round = 0; round < 1024; ++round) {
+        int64_t mx = 0;
+        for (int64_t k = 0; k < n_keys; ++k) mx = std::max(mx, loads[k]);
+        if (mx <= target) break;
+        bool moved = false;
+        for (int64_t i = 0; i < nc; ++i) {
+            const int64_t* c = cand + i * nv;
+            int64_t cur = c[choice[i]];
+            if (loads[cur] <= target) continue;
+            int64_t best = -1, bl = INT64_MAX;
+            for (int64_t a = 0; a < nv; ++a) {
+                if (!allowed[i * nv + a]) continue;
+                int64_t l = loads[c[a]];
+                if (l < bl) { bl = l; best = a; }
+            }
+            if (best >= 0 && bl < target && c[best] != cur) {
+                loads[cur]--;
+                loads[c[best]]++;
+                choice[i] = best;
+                moved = true;
+            }
+        }
+        if (!moved) target += 8;
+    }
+    return target;
+}
+
+// Counting-sort rank: out_rank[i] = number of j < i with keys[j] ==
+// keys[i] (stable within-key position). Replaces the planner's
+// argsort + searchsorted rank computation, O(n log n) -> O(n).
+void rank_by_key(const int64_t* keys, int64_t n, int64_t n_keys,
+                 int64_t* out_rank) {
+    std::vector<int64_t> seen(n_keys, 0);
+    for (int64_t i = 0; i < n; ++i) out_rank[i] = seen[keys[i]]++;
+}
+
+// Fill the lane gather table and cell-order map in one pass
+// (tpufem/lane/plan.py "gather-idx" stage). For cell i homed at bin
+// g[i], lane j[i], slot cpos[i]: gather_idx[g, v, cpos, j] = off[i, v]
+// and cell_order[(g*kc + cpos)*128 + j] = i. Both outputs must be
+// pre-filled with -1.
+void lane_gather_fill(const int64_t* g, const int64_t* j,
+                      const int64_t* cpos, const int64_t* off,
+                      int64_t nc, int64_t nv, int64_t kc,
+                      int32_t* gather_idx, int64_t* cell_order) {
+    const int64_t L = 128;
+    for (int64_t i = 0; i < nc; ++i) {
+        int64_t base = ((g[i] * nv) * kc + cpos[i]) * L + j[i];
+        for (int64_t v = 0; v < nv; ++v)
+            gather_idx[base + v * kc * L] = (int32_t)off[i * nv + v];
+        cell_order[(g[i] * kc + cpos[i]) * L + j[i]] = i;
+    }
+}
+
 }  // extern "C"

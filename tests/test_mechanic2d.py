@@ -60,6 +60,23 @@ def test_smoothing_monotone_and_bounded(square):
     assert (d > 0).sum() > (d0 > 0).sum()
 
 
+def test_smoothing_host_backend_matches_device(square):
+    """The NumPy host twin (used on remote-tunnel platforms) must be
+    bit-identical to the jitted device loop in f64."""
+    import jax.numpy as jnp
+
+    d0 = damage_mod.initial_damage(square, (4,), 1.0)
+    dev = np.asarray(
+        damage_mod.smooth_damage(square, jnp.asarray(d0), iterations=8,
+                                 backend="device")
+    )
+    host = np.asarray(
+        damage_mod.smooth_damage(square, d0, iterations=8,
+                                 backend="host")
+    )
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_smoothing_matches_reference_loop(square):
     """Cross-check the vectorized ELL smoother against a literal
     transcription of the reference's per-node loop semantics

@@ -189,9 +189,10 @@ def run(
         d0[damage_seed_nodes(mesh, n_chains=n_damage_chains)] = 1.0
     import jax.numpy as jnp
 
-    d = np.asarray(
-        smooth_damage(mesh, jnp.asarray(d0), iterations=smooth_iters)
-    )
+    # d0 stays a host array: on the tunnel platform smooth_damage's
+    # auto backend runs the host twin, and the device path uploads it
+    # itself
+    d = np.asarray(smooth_damage(mesh, d0, iterations=smooth_iters))
     timings["3.2 define damage"] = time.perf_counter() - t0
 
     NU = 0.3

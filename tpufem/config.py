@@ -108,6 +108,22 @@ def data_path(name: str) -> str:
     return os.path.join(here, "data", name)
 
 
+def is_remote_device_platform() -> bool:
+    """True when the default JAX platform dispatches through a remote
+    tunnel (the axon TPU relay): per-dispatch round trips are
+    multi-millisecond and host->device uploads are bandwidth-bound
+    there, so one-shot preprocessing loops over big index tables can be
+    cheaper on the host. Detected from the tunnel's environment, not by
+    touching the runtime (initializing the backend just to ask would
+    itself pay the tunnel cost)."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    import jax
+
+    plats = jax.config.jax_platforms
+    return not plats or "axon" in str(plats)
+
+
 def enable_persistent_cache(path: str = None) -> None:
     """Point JAX's persistent compilation cache at <repo>/.jax_cache.
 

@@ -1138,6 +1138,14 @@ class LaneEngine:
             return st, jnp.sqrt(eng.dot(st[1], st[1]))
 
         def solve(u0_flat, coeffs_flat, coeff_cells):
+            import time as _time
+
+            # cumulative wall per stage — on the tunnel platform the
+            # per-dispatch round trip dominates, and this breakdown is
+            # what says where (each stage ends in a float() sync)
+            ph = dict(rhs=0.0, diag=0.0, tl_setup=0.0, tl_refresh=0.0,
+                      cg=0.0, linesearch=0.0, transfer=0.0)
+
             f64 = u0_flat.dtype
             free64 = asm.free_mask(f64)
             u = asm.set_bc(u0_flat)
@@ -1150,28 +1158,40 @@ class LaneEngine:
             total_cg = 0
             it = 0
             for it in range(1, cfg.newton_maxit + 1):
+                _t0 = _time.perf_counter()
                 b64, bnorm = rhs64(asm, u, coeffs_flat, free64)
                 bnorm = float(bnorm)
+                ph["rhs"] += _time.perf_counter() - _t0
                 if r0 is None:
                     r0 = bnorm
                 if bnorm < max(cfg.newton_rtol * r0, cfg.newton_atol):
                     it -= 1
                     break
                 scale = bnorm if bnorm > 0 else 1.0
+                _t0 = _time.perf_counter()
                 u_in = eng.to_lane_dev(u).astype(idt)
                 b_in = eng.to_lane_dev(b64 / scale).astype(idt)
+                # scalar materialization, not block_until_ready: the
+                # remote runtime's block_until_ready returns before the
+                # dispatch drains (memory: axon-tpu-runtime-gotchas)
+                float(np.asarray(jax.device_get(b_in[0, 0, 0])))
+                ph["transfer"] += _time.perf_counter() - _t0
                 # the whole inner solve traces with x64 disabled: under
                 # jax_enable_x64, bare Python ints in the lane kernels'
                 # index maps / DMA slices lower as i64 constants, which
                 # Mosaic rejects (i32-only); the inner path is f32/i32
                 # by construction so 32-bit trace semantics are exact
                 with jax.enable_x64(False):
+                    _t0 = _time.perf_counter()
                     dinv = diag_fn(ieng, u_in, coeffs_in, free_in)
+                    float(np.asarray(jax.device_get(dinv[0, 0, 0])))
+                    ph["diag"] += _time.perf_counter() - _t0
                     tl_data = None
                     if use_tl:
                         from tpufem.lane import twolevel as tlmod
 
                         if "geo" not in _tl:
+                            _t0 = _time.perf_counter()
                             _tl["static"], _tl["geo"] = (
                                 tlmod.build_twolevel_geo(
                                     ieng,
@@ -1180,10 +1200,13 @@ class LaneEngine:
                                     nc=twolevel_nc, coarse_dtype=idt,
                                 )
                             )
+                            ph["tl_setup"] += _time.perf_counter() - _t0
+                        _t0 = _time.perf_counter()
                         _tl["data"] = tlmod.refresh_twolevel(
                             ieng, _tl["static"], _tl["geo"], u_in, coeffs_in,
                         )
                         tl_data = _tl["data"]
+                        ph["tl_refresh"] += _time.perf_counter() - _t0
                         u_cells0 = ieng._gather_cells(u_in)
                         z0 = tlmod.precondition(
                             ieng, _tl["static"], tl_data, u_cells0, coeffs_in,
@@ -1199,6 +1222,7 @@ class LaneEngine:
                     k = 0
                     stall = 0
                     best_rr = float("inf")
+                    _t0 = _time.perf_counter()
                     while k < cfg.cg_maxit:
                         nsteps = min(cg_chunk, cfg.cg_maxit - k)
                         state, rr = cg_chunk_fn(
@@ -1216,16 +1240,19 @@ class LaneEngine:
                         else:
                             stall = 0
                         best_rr = min(best_rr, rr)
+                    ph["cg"] += _time.perf_counter() - _t0
                 step64 = eng.from_lane_dev(
                     state[0] * free_in
                 ).astype(f64) * scale
                 alpha = 1.0
+                _t0 = _time.perf_counter()
                 for _ in range(6):
                     _, bn_new = rhs64(asm, u + alpha * step64,
                                       coeffs_flat, free64)
                     if float(bn_new) <= bnorm * (1.0 + 1e-12):
                         break
                     alpha *= 0.5
+                ph["linesearch"] += _time.perf_counter() - _t0
                 u = u + alpha * step64
                 total_cg += k
                 if cfg.verbose:
@@ -1242,6 +1269,7 @@ class LaneEngine:
                 newton_iters=it, total_cg_iters=total_cg,
                 final_residual=bnorm, r0=r0 or bnorm,
                 converged=converged,
+                phase_s={k: round(v, 2) for k, v in ph.items()},
             )
 
         return solve

@@ -171,63 +171,67 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     cand = node_key_all[cells]  # (nc, nv) candidate bin keys
     n_keys = G * N_LANES
     rows_nc = np.arange(nc)
-    # resident count per candidate: how many of the cell's nodes are
-    # homed in that bin (more resident nodes = fewer copy slots). The
-    # balance objective is lexicographic: maximize residency, then
-    # minimize bin load — moving a cell to a less-resident bin would
-    # trade kc padding for copy volume (measured copies 0.57x -> 1.09x
-    # with load-only balancing on a jittered polycrystal).
-    resident = (cand[:, :, None] == cand[:, None, :]).sum(
-        axis=2, dtype=np.int8
-    )
-    res_def = resident.max(axis=1, keepdims=True) - resident  # 0 = best
-    _tick("home-bins/resident")
-    # start from the first node's bin: regular meshes group same-bin
-    # cells so their foreign nodes coincide (shared copies); ANY
-    # reshuffle measurably spreads them (0.56x -> 0.81x copies on the
-    # structured triangulation). The capacity rounds below then move
-    # only overloaded cells, and only into maximal-residency bins.
-    choice = np.zeros(nc, dtype=np.int64)
-    allowed = res_def == 0  # only move among maximal-residency bins
-    # capacity-targeted rounds: push cells out of bins above the padded
-    # mean into allowed candidate bins with spare room (herd damped by
-    # per-target room quotas); raise the target if a level stalls
+    # balance objective (both paths): start from the first node's bin —
+    # regular meshes group same-bin cells so their foreign nodes
+    # coincide (shared copies; ANY reshuffle measurably spreads them,
+    # 0.56x -> 0.81x copies on the structured triangulation) — then
+    # move cells out of bins loaded past the padded-mean target, only
+    # into candidate bins of maximal residency (number of the cell's
+    # nodes homed there: fewer copy slots — load-only balancing
+    # measured copies 0.57x -> 1.09x on a jittered polycrystal).
     target = _round_up(max(-(-nc // n_keys), 1), 8)
-    for _ in range(16):
-        cur = cand[rows_nc, choice]
-        loads = np.bincount(cur, minlength=n_keys)
-        if loads.max() <= target:
-            break
-        cand_loads = np.where(allowed, loads[cand], np.iinfo(np.int64).max)
-        best = np.argmin(cand_loads, axis=1)
-        cur_load = loads[cur]
-        best_load = cand_loads[rows_nc, best]
-        move = (cur_load > target) & (best_load < target)
-        if not move.any():
-            target += 8
-            continue
-        tgt = cand[rows_nc, best]
-        order_m = np.argsort(tgt[move], kind="stable")
-        movers = np.nonzero(move)[0][order_m]
-        tgt_m = tgt[movers]
-        first_pos = np.searchsorted(tgt_m, np.arange(n_keys))
-        rank_in_tgt = np.arange(len(movers)) - first_pos[tgt_m]
-        room = target - loads
-        keep = rank_in_tgt < room[tgt_m]
-        if not keep.any():
-            target += 8
-            continue
-        choice[movers[keep]] = best[movers[keep]]
+    from tpufem import native
+
+    choice = native.lane_balance(cand, n_keys, target)
+    if choice is None:
+        # NumPy fallback: capacity-targeted rounds with per-target
+        # room quotas (herd damping); raise the target on stall
+        resident = (cand[:, :, None] == cand[:, None, :]).sum(
+            axis=2, dtype=np.int8
+        )
+        res_def = resident.max(axis=1, keepdims=True) - resident
+        _tick("home-bins/resident")
+        choice = np.zeros(nc, dtype=np.int64)
+        allowed = res_def == 0  # only move among maximal-residency bins
+        for _ in range(16):
+            cur = cand[rows_nc, choice]
+            loads = np.bincount(cur, minlength=n_keys)
+            if loads.max() <= target:
+                break
+            cand_loads = np.where(
+                allowed, loads[cand], np.iinfo(np.int64).max
+            )
+            best = np.argmin(cand_loads, axis=1)
+            cur_load = loads[cur]
+            best_load = cand_loads[rows_nc, best]
+            move = (cur_load > target) & (best_load < target)
+            if not move.any():
+                target += 8
+                continue
+            tgt = cand[rows_nc, best]
+            order_m = np.argsort(tgt[move], kind="stable")
+            movers = np.nonzero(move)[0][order_m]
+            tgt_m = tgt[movers]
+            first_pos = np.searchsorted(tgt_m, np.arange(n_keys))
+            rank_in_tgt = np.arange(len(movers)) - first_pos[tgt_m]
+            room = target - loads
+            keep = rank_in_tgt < room[tgt_m]
+            if not keep.any():
+                target += 8
+                continue
+            choice[movers[keep]] = best[movers[keep]]
     _tick("home-bins/balance")
     home = cells[rows_nc, choice]
     cell_lane = lane_of[home]
     cell_bin = bin_of[home]
     cell_key = cell_bin * N_LANES + cell_lane
-    csort = np.argsort(cell_key, kind="stable")
-    key_sorted = cell_key[csort]
-    kstart = np.searchsorted(key_sorted, np.arange(G * N_LANES))
-    cpos = np.empty(nc, dtype=np.int64)
-    cpos[csort] = np.arange(nc) - kstart[key_sorted]
+    cpos = native.rank_by_key(cell_key, n_keys)
+    if cpos is None:
+        csort = np.argsort(cell_key, kind="stable")
+        key_sorted = cell_key[csort]
+        kstart = np.searchsorted(key_sorted, np.arange(G * N_LANES))
+        cpos = np.empty(nc, dtype=np.int64)
+        cpos[csort] = np.arange(nc) - kstart[key_sorted]
     kc = max(_round_up(max(int(np.bincount(cell_key).max()), 1), 8), min_kc)
 
     _tick("home-bins")
@@ -269,15 +273,18 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     off[foreign] = wg_own + copy_rank[pair_inv_f]
     off = off.reshape(nc, nv)
 
-    gather_idx = np.full((G, nv, kc, N_LANES), -1, dtype=np.int32)
     g_arr = cell_bin
     j_arr = cell_lane
-    for v in range(nv):
-        gather_idx[g_arr, v, cpos, j_arr] = off[:, v]
+    filled = native.lane_gather_fill(g_arr, j_arr, cpos, off, kc, G)
+    if filled is not None:
+        gather_idx, cell_order = filled
+    else:
+        gather_idx = np.full((G, nv, kc, N_LANES), -1, dtype=np.int32)
+        for v in range(nv):
+            gather_idx[g_arr, v, cpos, j_arr] = off[:, v]
+        cell_order = np.full(G * kc * N_LANES, -1, dtype=np.int64)
+        cell_order[(g_arr * kc + cpos) * N_LANES + j_arr] = np.arange(nc)
     gather_starts = (np.arange(G) * wg).astype(np.int32)
-
-    cell_order = np.full(G * kc * N_LANES, -1, dtype=np.int64)
-    cell_order[(g_arr * kc + cpos) * N_LANES + j_arr] = np.arange(nc)
     cell_valid = cell_order >= 0
 
     _tick("gather-idx")
@@ -360,10 +367,20 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     plan.copy_src_rows = node_row[un]
     plan.copy_src_lanes = jh
     # strip extents + slot coordinate views (transfer-operator planning)
+    # (segmented min/max — the per-lane boolean-mask loop was 128 full
+    # passes over x)
     strip_x = np.zeros((N_LANES, 2))
-    for j in range(N_LANES):
-        xs = x[lane_of == j, 0]
-        strip_x[j] = [xs.min(), xs.max()] if len(xs) else [0.0, 0.0]
+    if n:
+        order_l = np.argsort(lane_of, kind="stable")
+        lx = x[order_l, 0]
+        cnt = np.bincount(lane_of, minlength=N_LANES)
+        bnds = np.zeros(N_LANES + 1, dtype=np.int64)
+        np.cumsum(cnt, out=bnds[1:])
+        ne = cnt > 0
+        starts = bnds[:-1][ne]
+        if len(starts):
+            strip_x[ne, 0] = np.minimum.reduceat(lx, starts)
+            strip_x[ne, 1] = np.maximum.reduceat(lx, starts)
     plan.strip_x = strip_x
     slot_x = np.full((R, N_LANES), np.nan)
     slot_y = np.full((R, N_LANES), np.nan)

@@ -50,6 +50,9 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.rcm_ordering.restype = None
             lib.morton_order.restype = None
             lib.amg_aggregate.restype = ctypes.c_int64
+            lib.lane_balance.restype = ctypes.c_int64
+            lib.rank_by_key.restype = None
+            lib.lane_gather_fill.restype = None
             _lib = lib
         except Exception:
             _build_failed = True
@@ -120,6 +123,67 @@ def amg_aggregate(indptr: np.ndarray, indices: np.ndarray,
         _ptr(data, ctypes.c_double), n, _ptr(out, ctypes.c_int64),
     )
     return out, int(n_agg)
+
+
+def lane_balance(cand: np.ndarray, n_keys: int, target0: int):
+    """Capacity-balanced cell->home-bin choice for the lane planner.
+    ``cand`` is the (nc, nv) int64 candidate-bin-key table; returns the
+    chosen candidate index per cell (nc,) int64, or None if the native
+    library is unavailable (caller falls back to NumPy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    cand = np.ascontiguousarray(cand, dtype=np.int64)
+    nc, nv = cand.shape
+    out = np.empty(nc, dtype=np.int64)
+    if nc:
+        lib.lane_balance(
+            _ptr(cand, ctypes.c_int64), ctypes.c_int64(nc),
+            ctypes.c_int64(nv), ctypes.c_int64(int(n_keys)),
+            ctypes.c_int64(int(target0)), _ptr(out, ctypes.c_int64),
+        )
+    return out
+
+
+def rank_by_key(keys: np.ndarray, n_keys: int):
+    """Stable within-key rank (counting sort), or None without the
+    native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    out = np.empty(len(keys), dtype=np.int64)
+    if len(keys):
+        lib.rank_by_key(
+            _ptr(keys, ctypes.c_int64), ctypes.c_int64(len(keys)),
+            ctypes.c_int64(int(n_keys)), _ptr(out, ctypes.c_int64),
+        )
+    return out
+
+
+def lane_gather_fill(g, j, cpos, off, kc: int, G: int):
+    """One-pass fill of (gather_idx, cell_order) for the lane planner;
+    returns None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    g = np.ascontiguousarray(g, dtype=np.int64)
+    j = np.ascontiguousarray(j, dtype=np.int64)
+    cpos = np.ascontiguousarray(cpos, dtype=np.int64)
+    off = np.ascontiguousarray(off, dtype=np.int64)
+    nc, nv = off.shape
+    gather_idx = np.full((G, nv, kc, 128), -1, dtype=np.int32)
+    cell_order = np.full(G * kc * 128, -1, dtype=np.int64)
+    if nc:
+        lib.lane_gather_fill(
+            _ptr(g, ctypes.c_int64), _ptr(j, ctypes.c_int64),
+            _ptr(cpos, ctypes.c_int64), _ptr(off, ctypes.c_int64),
+            ctypes.c_int64(nc), ctypes.c_int64(nv),
+            ctypes.c_int64(int(kc)),
+            _ptr(gather_idx, ctypes.c_int32),
+            _ptr(cell_order, ctypes.c_int64),
+        )
+    return gather_idx, cell_order
 
 
 def rcm_ordering(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
