@@ -298,6 +298,32 @@ def test_fused_kernel_no_coeffs():
     np.testing.assert_allclose(rf, ru, rtol=0, atol=1e-12 * np.abs(ru).max())
 
 
+def test_plan_native_matches_numpy(monkeypatch):
+    """The native C++ planner stages (balance, copies, rank, gather
+    fill) must reproduce the NumPy fallback field-for-field."""
+    from tpufem import native
+    from tpufem.cases.polycrystal import generate_polycrystal
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for mesh in (unit_square(24), generate_polycrystal(24, n_grains=8)):
+        p_nat = build_lane_plan(mesh.x, mesh.cells, wg_own=8)
+        with monkeypatch.context() as m:
+            for fn in ("lane_balance", "lane_copies", "rank_by_key",
+                       "lane_gather_fill"):
+                m.setattr(native, fn, lambda *a, **k: None)
+            p_np = build_lane_plan(mesh.x, mesh.cells, wg_own=8)
+        for f in ("gather_idx", "cell_order", "node_row", "node_lane",
+                  "copy_dst_rows", "copy_dst_lanes", "copy_src_rows",
+                  "copy_src_lanes", "tail_copy_slot", "owned_mask"):
+            a, b = getattr(p_nat, f), getattr(p_np, f)
+            assert a.shape == b.shape, f
+            assert (np.asarray(a) == np.asarray(b)).all(), f
+        assert [s[:2] for s in p_nat.owner_passes] == [
+            s[:2] for s in p_np.owner_passes
+        ]
+
+
 def test_jittered_mesh_with_tail_matches_assembler():
     """Jittered-Delaunay mesh: the rare-copy tail path (flat XLA
     gather/scatter for (p,q) combos below pass_min_frac) must agree

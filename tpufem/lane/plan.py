@@ -236,25 +236,43 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
 
     _tick("home-bins")
     # --- copies -----------------------------------------------------------------
-    # (cell-bin-key, node) pairs where the node's home differs
+    # (cell-bin-key, node) pairs where the node's home differs. Both
+    # paths produce: the per-(cell, v) gather offsets ``off`` (own ->
+    # row_in_bin, foreign -> wg_own + copy rank), and the unique copies
+    # sorted by (bin, node): ``ubin``/``un``/``copy_rank``.
     node_key = bin_of * N_LANES + lane_of  # home bin key per node
-    ck = np.repeat(cell_key, nv)
-    nd = cells.ravel()
-    foreign = node_key[nd] != ck
-    # unique (cell-bin-key, node) pairs via a scalar int64 key — the
-    # axis=0 unique on a 2-column array is a void-dtype sort and is
-    # ~100x slower at millions of pairs
-    pair_key = ck[foreign] * np.int64(n) + nd[foreign]
-    _tick("copies/pairkey")
-    ukey, pair_inv_f = np.unique(pair_key, return_inverse=True)
-    _tick("copies/unique")
-    upairs = np.stack([ukey // n, ukey % n], axis=1)
-    # rank of each unique copy within its bin
-    ubin = upairs[:, 0]
-    ustart = np.searchsorted(ubin, np.arange(G * N_LANES))
-    copy_rank = np.arange(len(upairs)) - ustart[ubin]
-    copies_per_bin = np.bincount(ubin, minlength=G * N_LANES)
-    wg_copy = _round_up(max(int(copies_per_bin.max()) if len(upairs) else 8, 8), 8)
+    copies = native.lane_copies(cells, cell_key, node_key, row_in_bin,
+                                wg_own)
+    if copies is not None:
+        off, ubin, un, copy_rank, max_per_bin = copies
+        wg_copy = _round_up(max(int(max_per_bin), 8), 8)
+        _tick("copies/native")
+    else:
+        ck = np.repeat(cell_key, nv)
+        nd = cells.ravel()
+        foreign = node_key[nd] != ck
+        # unique (cell-bin-key, node) pairs via a scalar int64 key —
+        # the axis=0 unique on a 2-column array is a void-dtype sort
+        # and is ~100x slower at millions of pairs
+        pair_key = ck[foreign] * np.int64(n) + nd[foreign]
+        _tick("copies/pairkey")
+        ukey, pair_inv_f = np.unique(pair_key, return_inverse=True)
+        _tick("copies/unique")
+        ubin = ukey // n
+        un = ukey % n
+        # rank of each unique copy within its bin
+        ustart = np.searchsorted(ubin, np.arange(G * N_LANES))
+        copy_rank = np.arange(len(ubin)) - ustart[ubin]
+        copies_per_bin = np.bincount(ubin, minlength=G * N_LANES)
+        wg_copy = _round_up(
+            max(int(copies_per_bin.max()) if len(ubin) else 8, 8), 8
+        )
+        # local offset per (cell, v): own row_in_bin, wg_own+copy_rank
+        off = np.empty(nc * nv, dtype=np.int64)
+        own_sel = ~foreign
+        off[own_sel] = row_in_bin[nd[own_sel]]
+        off[foreign] = wg_own + copy_rank[pair_inv_f]
+        off = off.reshape(nc, nv)
     wg_copy = max(wg_copy, min_wg_copy)
     wg = wg_own + wg_copy
     R = G * wg
@@ -266,12 +284,6 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
 
     _tick("copies")
     # --- gather idx --------------------------------------------------------------
-    # local offset per (cell, v): own row_in_bin, or wg_own + copy_rank
-    off = np.empty(nc * nv, dtype=np.int64)
-    own_sel = ~foreign
-    off[own_sel] = (bin_of * 0 + row_in_bin)[nd[own_sel]]
-    off[foreign] = wg_own + copy_rank[pair_inv_f]
-    off = off.reshape(nc, nv)
 
     g_arr = cell_bin
     j_arr = cell_lane
@@ -292,7 +304,6 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     # copy slot: bin (gc, jc), row wg_own+i ; source: home slot of node
     gc = ubin // N_LANES
     jc = ubin % N_LANES
-    un = upairs[:, 1]
     gh = bin_of[un]
     jh = lane_of[un]
     p_arr = (jh - jc).astype(np.int64)  # lane shift src - dst
@@ -303,11 +314,11 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     # rare (p, q) combos -> flat tail pairs, not a full dense pass each
     # (a jittered polycrystal spreads 2% of its copies over 2x more
     # (p, q) combos than hold the other 98%)
-    tail_mask = np.zeros(len(upairs), dtype=bool)
-    min_count = max(int(pass_min_frac * len(upairs)), 1)
+    tail_mask = np.zeros(len(ubin), dtype=bool)
+    min_count = max(int(pass_min_frac * len(ubin)), 1)
     # group copies by (p, q) with one sort — scanning the full copy list
     # per combo is O(combos x copies) and dominated plan build at 4M cells
-    if len(upairs):
+    if len(ubin):
         p_min, q_min = int(p_arr.min()), int(q_arr.min())
         q_span = int(q_arr.max()) - q_min + 1
         pq_key = (p_arr - p_min) * q_span + (q_arr - q_min)

@@ -31,6 +31,10 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
+        if os.environ.get("TPUFEM_NO_NATIVE"):
+            # test hook: force every NumPy fallback path
+            _build_failed = True
+            return None
         try:
             if not os.path.exists(_SO) or os.path.getmtime(
                 _SO
@@ -51,6 +55,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.morton_order.restype = None
             lib.amg_aggregate.restype = ctypes.c_int64
             lib.lane_balance.restype = ctypes.c_int64
+            lib.lane_copies.restype = ctypes.c_int64
             lib.rank_by_key.restype = None
             lib.lane_gather_fill.restype = None
             _lib = lib
@@ -80,7 +85,7 @@ def unique_entities(cand: np.ndarray):
     out_e = np.empty((n, nv), dtype=np.int32)
     out_inv = np.empty(n, dtype=np.int64)
     nu = lib.unique_entities(
-        _ptr(cand, ctypes.c_int32), n, nv,
+        _ptr(cand, ctypes.c_int32), ctypes.c_int64(n), ctypes.c_int64(nv),
         _ptr(out_e, ctypes.c_int32), _ptr(out_inv, ctypes.c_int64),
     )
     return out_e[:nu].copy(), out_inv
@@ -98,8 +103,9 @@ def gather_plan(targets: np.ndarray, n_targets: int):
     K = int(counts.max()) if n_src else 1
     out = np.empty((max(K, 1), n_targets), dtype=np.int32)
     got = lib.gather_plan(
-        _ptr(targets, ctypes.c_int64), n_src, n_targets,
-        _ptr(out, ctypes.c_int32), max(K, 1),
+        _ptr(targets, ctypes.c_int64), ctypes.c_int64(n_src),
+        ctypes.c_int64(n_targets), _ptr(out, ctypes.c_int32),
+        ctypes.c_int64(max(K, 1)),
     )
     assert got == K, (got, K)
     return out
@@ -120,7 +126,8 @@ def amg_aggregate(indptr: np.ndarray, indices: np.ndarray,
     out = np.empty(n, dtype=np.int64)
     n_agg = lib.amg_aggregate(
         _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
-        _ptr(data, ctypes.c_double), n, _ptr(out, ctypes.c_int64),
+        _ptr(data, ctypes.c_double), ctypes.c_int64(n),
+        _ptr(out, ctypes.c_int64),
     )
     return out, int(n_agg)
 
@@ -143,6 +150,41 @@ def lane_balance(cand: np.ndarray, n_keys: int, target0: int):
             ctypes.c_int64(int(target0)), _ptr(out, ctypes.c_int64),
         )
     return out
+
+
+def lane_copies(cells, cell_key, node_key, row_in_bin, wg_own: int):
+    """Copies stage of the lane planner in one native pass: dedup
+    (cell-bin, node) pairs, rank copies within bins, and emit the
+    per-(cell, vertex) gather offsets. Returns (off (nc, nv), ubin,
+    unode, urank, max_copies_per_bin) or None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    cells = np.ascontiguousarray(cells, dtype=np.int64)
+    cell_key = np.ascontiguousarray(cell_key, dtype=np.int64)
+    node_key = np.ascontiguousarray(node_key, dtype=np.int64)
+    row_in_bin = np.ascontiguousarray(row_in_bin, dtype=np.int64)
+    nc, nv = cells.shape
+    cap = max(nc * nv, 1)
+    off = np.empty(nc * nv, dtype=np.int64)
+    ubin = np.empty(cap, dtype=np.int64)
+    unode = np.empty(cap, dtype=np.int64)
+    urank = np.empty(cap, dtype=np.int64)
+    meta = np.zeros(1, dtype=np.int64)
+    nu = 0
+    if nc:
+        nu = lib.lane_copies(
+            _ptr(cells, ctypes.c_int64), _ptr(cell_key, ctypes.c_int64),
+            _ptr(node_key, ctypes.c_int64),
+            _ptr(row_in_bin, ctypes.c_int64),
+            ctypes.c_int64(nc), ctypes.c_int64(nv),
+            ctypes.c_int64(len(node_key)), ctypes.c_int64(int(wg_own)),
+            _ptr(off, ctypes.c_int64), _ptr(ubin, ctypes.c_int64),
+            _ptr(unode, ctypes.c_int64), _ptr(urank, ctypes.c_int64),
+            _ptr(meta, ctypes.c_int64),
+        )
+    return (off.reshape(nc, nv), ubin[:nu].copy(), unode[:nu].copy(),
+            urank[:nu].copy(), int(meta[0]))
 
 
 def rank_by_key(keys: np.ndarray, n_keys: int):
@@ -197,7 +239,7 @@ def rcm_ordering(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
     out = np.empty(n, dtype=np.int32)
     lib.rcm_ordering(
         _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
-        n, _ptr(out, ctypes.c_int32),
+        ctypes.c_int64(n), _ptr(out, ctypes.c_int32),
     )
     return out
 
@@ -236,6 +278,6 @@ def morton_order(coords: np.ndarray) -> np.ndarray:
 
         return _morton_order(coords).astype(np.int64)
     out = np.empty(n, dtype=np.int64)
-    lib.morton_order(_ptr(coords, ctypes.c_double), n, dim,
-                     _ptr(out, ctypes.c_int64))
+    lib.morton_order(_ptr(coords, ctypes.c_double), ctypes.c_int64(n),
+                     ctypes.c_int64(dim), _ptr(out, ctypes.c_int64))
     return out
