@@ -1095,6 +1095,19 @@ class LaneEngine:
             d = d * free + (1.0 - free)
             return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
 
+        @jax.jit
+        def resnorm_in(eng_, u_in, coeffs, free):
+            # inner-dtype residual norm on the lane engine — used ONLY
+            # to pick the damping factor. The backtracking test is a
+            # relative comparison with ~f32 noise; the accepted
+            # iterate's true f64 residual is what the next Newton
+            # iteration (and convergence control) actually uses, so
+            # accuracy is unaffected while each trial costs one lane
+            # dispatch instead of an emulated-f64 flat assembly.
+            r = eng_.residual(u_in, coeffs)
+            b = r * free
+            return jnp.sqrt(eng_.dot(b, b))
+
         @functools.partial(jax.jit, static_argnums=(0,))
         def cg_chunk_fn(nsteps, eng_, u_lin, coeffs, free, dinv, tl_data,
                         state):
@@ -1241,17 +1254,29 @@ class LaneEngine:
                             stall = 0
                         best_rr = min(best_rr, rr)
                     ph["cg"] += _time.perf_counter() - _t0
-                step64 = eng.from_lane_dev(
-                    state[0] * free_in
-                ).astype(f64) * scale
+                step_in = state[0] * free_in
+                step64 = eng.from_lane_dev(step_in).astype(f64) * scale
+                # backtracking damping on the INNER-dtype lane residual:
+                # each trial is one lane dispatch instead of an
+                # emulated-f64 flat assembly. f32 can't resolve norms
+                # near the convergence floor, but damping only matters
+                # in the large-residual regime where f32 is accurate —
+                # near the root the comparison ties and the full Newton
+                # step is (correctly) taken; the accepted iterate's
+                # true f64 residual still drives convergence control.
                 alpha = 1.0
                 _t0 = _time.perf_counter()
-                for _ in range(6):
-                    _, bn_new = rhs64(asm, u + alpha * step64,
-                                      coeffs_flat, free64)
-                    if float(bn_new) <= bnorm * (1.0 + 1e-12):
-                        break
-                    alpha *= 0.5
+                with jax.enable_x64(False):
+                    r_cur = float(resnorm_in(ieng, u_in, coeffs_in,
+                                             free_in))
+                    sc_in = jnp.asarray(scale, dtype=idt)
+                    for _ in range(6):
+                        u_try = u_in + (alpha * sc_in) * step_in
+                        bn_new = float(resnorm_in(ieng, u_try, coeffs_in,
+                                                  free_in))
+                        if bn_new <= r_cur * (1.0 + 1e-4):
+                            break
+                        alpha *= 0.5
                 ph["linesearch"] += _time.perf_counter() - _t0
                 u = u + alpha * step64
                 total_cg += k
