@@ -298,6 +298,62 @@ def test_fused_kernel_no_coeffs():
     np.testing.assert_allclose(rf, ru, rtol=0, atol=1e-12 * np.abs(ru).max())
 
 
+def test_mixed_amg_matches_f64_on_graded_mesh():
+    """SA-AMG preconditioning inside the mixed-precision lane solver:
+    on a strongly graded mesh (where the twolevel lattice coarse space
+    degrades) the 'amg' option must land on the all-f64 root with far
+    fewer CG iterations than Jacobi."""
+    from tpufem.mesh.mesh import CellType, Mesh
+
+    base = unit_square(16)
+    x = np.asarray(base.x).copy()
+    x[:, 0] = x[:, 0] ** 3  # strong grading toward x = 0
+    mesh = Mesh(x=x, cells=base.cells, cell_type=CellType.triangle)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = np.zeros(DS.n_dofs)
+    d[(DS.dof_coords[:, 1] > 0.45) & (DS.dof_coords[:, 1] < 0.55)] = 0.8
+    t = Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), E, NU), 1)
+    F = EnergyFunctional(V, [t], [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda xx: np.abs(xx[:, 0]) < 1e-12)
+    right = locate_dofs_geometrical(
+        V, lambda xx: np.abs(xx[:, 0] - 1) < 1e-12
+    )
+    bcs = [DirichletBC(V, left, [0.0, 0.0]),
+           DirichletBC(V, right, [0.01, 0.0])]
+    coeffs = {"d": jnp.asarray(d)}
+
+    e64 = LaneEngine(F, bcs, wg_own=8, interpret=True)
+    gold, gstats = e64.make_solver(
+        SolverConfig(cg_rtol=1e-12, newton_rtol=1e-10, cg_maxit=8000,
+                     newton_maxit=20, error_on_nonconvergence=False)
+    )(jnp.zeros_like(e64.bc_lane), e64.prepare_coeffs(coeffs))
+    assert gstats["converged"]
+    u_gold = e64.from_lane(gold)
+
+    def run_mixed(pc, rtol):
+        emx = LaneEngine(F, bcs, wg_own=8, interpret=True,
+                         store_dtype=np.float32)
+        solve = emx.make_mixed_solver(
+            SolverConfig(cg_rtol=rtol, newton_rtol=1e-10, cg_maxit=8000,
+                         newton_maxit=30, preconditioner=pc,
+                         error_on_nonconvergence=False)
+        )
+        return solve(jnp.zeros(V.n_dofs, dtype=jnp.float64), coeffs,
+                     emx.prepare_coeffs(coeffs))
+
+    u_amg, s_amg = run_mixed("amg", 1e-6)
+    assert s_amg["converged"], s_amg
+    rel = np.linalg.norm(np.asarray(u_amg) - u_gold) / np.linalg.norm(
+        u_gold
+    )
+    assert rel < 1e-10, rel
+    u_jac, s_jac = run_mixed("jacobi", 1e-6)
+    assert s_amg["total_cg_iters"] < 0.4 * s_jac["total_cg_iters"], (
+        s_amg["total_cg_iters"], s_jac["total_cg_iters"],
+    )
+
+
 def test_plan_native_matches_numpy(monkeypatch):
     """The native C++ planner stages (balance, copies, rank, gather
     fill) must reproduce the NumPy fallback field-for-field."""

@@ -176,15 +176,25 @@ class Assembler:
             lambda a: g(*a), (u_cells, x_cells, c_cells), batch
         )
 
-    def element_matrices(self, u, coeffs: Dict[str, jnp.ndarray]):
+    def element_matrices(self, u, coeffs: Dict[str, jnp.ndarray],
+                         batch: Optional[int] = None):
         """(ndofe, ndofe, nc) consistent element tangents = ∂²Πe/∂u_e²
         — replaces the nested-dual Hessian of admfem.hpp:672-699 and the
-        hand-derived d(ψ)/dΛ tangents of MFEM/...cc:766-871."""
+        hand-derived d(ψ)/dΛ tangents of MFEM/...cc:766-871.
+
+        ``batch``: evaluate in cell slabs (the Hessian temporaries are
+        ndofe× larger than the residual's, so multi-million-cell meshes
+        need this even sooner)."""
         u_cells = self.functional.gather(u)
         c_cells = self.functional.gather_coeffs(coeffs)
+        x_cells = self.functional.x_cells.astype(u.dtype)
         h = jax.vmap(jax.hessian(self._energy_fn), in_axes=(-1, -1, -1),
                      out_axes=-1)
-        return h(u_cells, self.functional.x_cells.astype(u.dtype), c_cells)
+        if not batch or u_cells.shape[-1] <= batch:
+            return h(u_cells, x_cells, c_cells)
+        return _map_cell_slabs(
+            lambda a: h(*a), (u_cells, x_cells, c_cells), batch
+        )
 
     # -- global assembly -------------------------------------------------------
 
@@ -228,7 +238,8 @@ class Assembler:
         f = lambda w: self.residual(w, coeffs)
         return jax.jvp(f, (u,), (v,))[1]
 
-    def matrix(self, u, coeffs) -> EllMatrix:
+    def matrix(self, u, coeffs,
+               batch: Optional[int] = None) -> EllMatrix:
         """Assembled sparse Jacobian in ELL form, with Dirichlet rows
         zeroed and unit diagonal (assemble_matrix + set_diagonal
         semantics, FEniCSx/...cc:852-857). Columns for bc dofs are also
@@ -238,7 +249,7 @@ class Assembler:
         # traction loads; the matrix-free tangent_action includes them
         # exactly via JVP)
         pat = self.pattern
-        em = self.element_matrices(u, coeffs)
+        em = self.element_matrices(u, coeffs, batch=batch)
         nnz_vals = self._nnz_plan.apply(em)
         rows = self._pat_rows
         cols = self._pat_cols

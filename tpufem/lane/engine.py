@@ -1059,6 +1059,11 @@ class LaneEngine:
         maps coefficient names to flat f64 vectors (also the lattice
         sampling source when ``cfg.preconditioner='twolevel'``), and
         ``coeff_cells`` is :meth:`prepare_coeffs` output.
+
+        ``cfg.preconditioner``: 'jacobi', 'twolevel' (lattice-coarse —
+        fastest on quasi-uniform meshes), or 'amg' (smoothed-aggregation
+        hierarchy with RBM near-nullspace, la/amg.py — fully algebraic,
+        the robust choice on strongly graded meshes).
         """
         from tpufem.assemble.assembler import Assembler
 
@@ -1066,6 +1071,15 @@ class LaneEngine:
         eng = self
         idt = inner_dtype or jnp.float32
         use_tl = cfg.preconditioner == "twolevel"
+        # 'amg': smoothed-aggregation hierarchy (la/amg.py, RBM
+        # near-nullspace) built ONCE from the assembled Jacobian at the
+        # initial iterate and applied as one V-cycle per CG iteration
+        # in the flat layout (device-side lane<->flat index maps).
+        # Slower per application than 'twolevel' (ELL SpMVs ride XLA
+        # gathers, not the lane kernels) but fully algebraic — the
+        # robust choice on strongly graded meshes where the lattice
+        # coarse space degrades.
+        use_amg = cfg.preconditioner == "amg"
         # twolevel lattice sampling defaults to coeffs_flat at call time
         asm = Assembler(self.functional, self.bcs)
         _tl = {}
@@ -1079,6 +1093,32 @@ class LaneEngine:
                     if jnp.issubdtype(a.dtype, jnp.floating) else a)
 
         ieng = jax.tree_util.tree_map(_to_inner, eng)
+        bs = eng.bs
+
+        # lane <-> flat byVDIM inside jit, with the index maps passed
+        # as ARGUMENTS (closing over them would bake multi-MB constants
+        # into the executable — rematerialized per call on the remote
+        # runtime)
+        def _flat_of_lane(m, r):
+            return r[:, m["row"], m["lane"]].T.reshape(-1)
+
+        def _lane_of_flat(m, z, like):
+            out = jnp.zeros(like.shape, z.dtype)
+            out = out.at[:, m["row"], m["lane"]].set(
+                z.reshape(-1, bs).T
+            )
+            if "cdr" in m:
+                out = out.at[:, m["cdr"], m["cdl"]].set(
+                    out[:, m["csr"], m["csl"]]
+                )
+            return out
+
+        def _amg_M(tl_data, r):
+            from tpufem.la.amg import vcycle
+
+            hier, m = tl_data
+            z = vcycle(hier, _flat_of_lane(m, r), degree=cfg.amg_degree)
+            return _lane_of_flat(m, z, r)
 
         @jax.jit
         def rhs64(asm_, u_flat, coeffs_flat, free_flat):
@@ -1134,6 +1174,8 @@ class LaneEngine:
                         eng_, _tl["static"], tl_data, u_cells, coeffs,
                         free, r,
                     )
+                if use_amg:
+                    return _amg_M(tl_data, r)
                 return dinv * r
 
             def body(_, st):
@@ -1225,6 +1267,43 @@ class LaneEngine:
                             ieng, _tl["static"], tl_data, u_cells0, coeffs_in,
                             free_in, b_in,
                         )
+                    elif use_amg:
+                        if "hier" not in _tl:
+                            # host SA-AMG setup from the Jacobian at
+                            # the initial iterate, inner dtype, frozen
+                            # for the whole solve (standard practice;
+                            # the CG stall guard catches the rare
+                            # branch-flip degradation)
+                            _t0 = _time.perf_counter()
+                            from tpufem.la.amg import (
+                                AMGOptions, build_hierarchy, ell_to_scipy,
+                            )
+
+                            mat = jax.jit(
+                                lambda a, u_, c_: a.matrix(
+                                    u_, c_, batch=f64_batch
+                                )
+                            )(
+                                asm, u.astype(idt),
+                                {k: v.astype(idt)
+                                 for k, v in coeffs_flat.items()},
+                            )
+                            V = asm.space
+                            _tl["hier"] = build_hierarchy(
+                                ell_to_scipy(mat), V.dof_coords, V.bs,
+                                free_mask=np.asarray(
+                                    asm._free_mask_np, np.float64
+                                ),
+                                opts=AMGOptions(
+                                    theta=cfg.amg_theta,
+                                    coarse_size=cfg.amg_coarse_size,
+                                ),
+                                dtype=np.dtype(idt),
+                            )
+                            _tl["maps"] = dict(eng._lane_maps_dev())
+                            ph["tl_setup"] += _time.perf_counter() - _t0
+                        tl_data = (_tl["hier"], _tl["maps"])
+                        z0 = _amg_M(tl_data, b_in)
                     else:
                         z0 = dinv * b_in
                     state = (jnp.zeros_like(b_in), b_in, z0, z0,
