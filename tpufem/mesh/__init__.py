@@ -16,7 +16,7 @@ from tpufem.mesh.topology import (
     boundary_facets,
     locate_entities_boundary,
 )
-from tpufem.mesh.refine import refine_uniform
+from tpufem.mesh.refine import refine_uniform, refine_marked
 
 __all__ = [
     "Mesh",
@@ -32,4 +32,5 @@ __all__ = [
     "boundary_facets",
     "locate_entities_boundary",
     "refine_uniform",
+    "refine_marked",
 ]

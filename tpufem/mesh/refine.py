@@ -1,10 +1,12 @@
-"""Uniform refinement with tag transfer.
+"""Uniform and local (marked-cell) refinement with tag transfer.
 
 Equivalent of dolfinx ``refinement::plaza::refine`` + cell/facet meshtag
 transfer (FEniCSx/mechanic2d/asym_elasto_damage_model.cc:166-186) and
-mfem ``ParMesh::UniformRefinement`` (MFEM/...cc:1038), restricted to the
-uniform (red) case which is all the reference workload uses
-(MAX_REFINE applications of uniform refinement).
+mfem ``ParMesh::UniformRefinement`` (MFEM/...cc:1038). The reference
+workload only applies the uniform (all-red) case (MAX_REFINE
+applications); :func:`refine_marked` covers the local-refinement half of
+the plaza contract — conforming simplex refinement of a marked cell
+subset by globally-ordered longest-edge bisection (Rivara/plaza family).
 """
 
 from __future__ import annotations
@@ -178,3 +180,170 @@ def _refine_hex(mesh: Mesh) -> Mesh:
     tags = np.tile(mesh.cell_tags, 8) if mesh.cell_tags is not None else None
     return Mesh(x=new_x, cells=cells, cell_type=CellType.hexahedron,
                 cell_tags=tags)
+
+
+# ---------------------------------------------------------------------------
+# local refinement (plaza-style): conforming marked-cell refinement of
+# simplex meshes by longest-edge bisection in a single GLOBAL edge order
+# ---------------------------------------------------------------------------
+
+
+def _subdivide_template(nv: int, seq):
+    """Recursive bisection of the reference simplex, symbolically.
+
+    ``seq`` is the cell-local edge indices to split, already in global
+    split order. Symbols 0..nv-1 are the original local vertices; nv+e
+    is the midpoint of local edge e. In a simplex any vertex pair is an
+    edge, so a marked original edge (a, b) is present in a sub-simplex
+    iff both a and b still are; bisection replaces b (resp. a) by the
+    midpoint, halving the volume with the parent's orientation sign.
+    """
+    from tpufem.mesh.mesh import CELL_EDGES, CellType
+
+    local_edges = CELL_EDGES[
+        CellType.triangle if nv == 3 else CellType.tetra
+    ]
+    sims = [tuple(range(nv))]
+    for e in seq:
+        a, b = local_edges[e]
+        mid = nv + e
+        out = []
+        for s in sims:
+            if a in s and b in s:
+                out.append(tuple(mid if v == b else v for v in s))
+                out.append(tuple(mid if v == a else v for v in s))
+            else:
+                out.append(s)
+        sims = out
+    return sims
+
+
+def refine_marked(mesh: Mesh, marked_cells) -> Mesh:
+    """Conforming local refinement of the cells in ``marked_cells``
+    (bool mask or index array) for triangle/tetra meshes — the local
+    half of dolfinx ``refinement::plaza::refine`` (FEniCSx/...cc:166-186).
+
+    Every edge of a marked cell is split (marked triangles become 4
+    children, marked tets 8, like one uniform level); unmarked cells
+    are bisected as needed to stay conforming. Closure marks the
+    *refinement edge* (globally longest, ties by edge id) of any cell
+    with a split edge, so repeated application keeps element quality
+    bounded (Rivara). All cells bisect their split edges in one global
+    edge order, which makes the induced triangulation of every shared
+    face identical from both sides — conformity needs no communication
+    beyond the shared order, exactly the property that lets this run
+    per-partition on distributed shards.
+
+    Cell tags propagate to children; tagged edges (entity_tags[1])
+    split into two tagged children when their edge is split and are
+    kept verbatim otherwise.
+    """
+    if mesh.cell_type not in (CellType.triangle, CellType.tetra):
+        raise NotImplementedError(
+            f"refine_marked supports simplex meshes, got {mesh.cell_type}"
+        )
+    marked_cells = np.asarray(marked_cells)
+    if marked_cells.dtype != np.bool_:
+        m = np.zeros(mesh.n_cells, dtype=bool)
+        m[marked_cells] = True
+        marked_cells = m
+    if not marked_cells.any():
+        return mesh
+
+    edges, c2e = build_entities(mesh, 1)
+    ne = edges.shape[0]
+    elen = np.linalg.norm(mesh.x[edges[:, 1]] - mesh.x[edges[:, 0]], axis=1)
+    # one global split order: longest first, ties by edge id (shared by
+    # all cells, so shared faces subdivide identically from both sides)
+    order = np.lexsort((np.arange(ne), -elen))
+    rank = np.empty(ne, dtype=np.int64)
+    rank[order] = np.arange(ne)
+
+    split = np.zeros(ne, dtype=bool)
+    split[np.unique(c2e[marked_cells].ravel())] = True
+
+    # closure: any cell with a split edge must split its refinement
+    # edge (cell-local rank minimum). Marks only grow -> terminates.
+    cell_rank = rank[c2e]  # (nc, n_local_edges)
+    ref_edge = c2e[np.arange(mesh.n_cells), np.argmin(cell_rank, axis=1)]
+    while True:
+        need = split[c2e].any(axis=1) & ~split[ref_edge]
+        if not need.any():
+            break
+        split[ref_edge[need]] = True
+
+    # midpoint nodes for split edges
+    edge_to_new = np.full(ne, -1, dtype=np.int64)
+    sidx = np.flatnonzero(split)
+    edge_to_new[sidx] = mesh.n_nodes + np.arange(len(sidx))
+    new_x = np.concatenate(
+        [mesh.x, 0.5 * (mesh.x[edges[sidx, 0]] + mesh.x[edges[sidx, 1]])],
+        axis=0,
+    )
+
+    # group cells by their split signature: the cell-local edge indices
+    # of split edges, in global order
+    nv = mesh.cells.shape[1]
+    nle = c2e.shape[1]
+    smask = split[c2e]  # (nc, nle)
+    loc_sorted = np.argsort(cell_rank, axis=1)  # local edges, global order
+    smask_sorted = np.take_along_axis(smask, loc_sorted, axis=1)
+    # signature id: local-edge sequence padded with nle (=no-op)
+    seq = np.where(smask_sorted, loc_sorted, nle)
+    # stable-compact the no-ops to the right
+    seq = np.take_along_axis(
+        seq, np.argsort(seq == nle, kind="stable", axis=1), axis=1
+    )
+    sig = seq @ (np.int64(nle + 1) ** np.arange(nle)[::-1])
+    uniq, inv = np.unique(sig, return_inverse=True)
+
+    children_cells = []
+    children_parent = []
+    for g, s in enumerate(uniq):
+        cs = np.flatnonzero(inv == g)
+        gseq = [int(v) for v in seq[cs[0]] if v < nle]
+        tmpl = _subdivide_template(nv, gseq)
+        # symbol -> global node: vertices then midpoints
+        verts = mesh.cells[cs]  # (k, nv)
+        mids = edge_to_new[c2e[cs]]  # (k, nle)
+        table = np.concatenate([verts, mids], axis=1)  # (k, nv+nle)
+        for child in tmpl:
+            children_cells.append(table[:, list(child)])
+            children_parent.append(cs)
+    cells = np.concatenate(children_cells, axis=0).astype(INDEX_DTYPE)
+    parent = np.concatenate(children_parent, axis=0)
+    tags = (
+        np.asarray(mesh.cell_tags)[parent]
+        if mesh.cell_tags is not None
+        else None
+    )
+    out = Mesh(x=new_x, cells=cells, cell_type=mesh.cell_type,
+               cell_tags=tags)
+
+    # edge-tag transfer: split tagged edges -> two tagged children;
+    # unsplit tagged edges persist verbatim
+    if 1 in mesh.entity_tags:
+        from tpufem.mesh.topology import match_tagged_entities
+
+        etags = mesh.entity_tags[1]
+        idx = match_tagged_entities(mesh, 1)
+        valid = idx >= 0
+        idx = idx[valid]
+        vals = etags.values[valid]
+        is_split = split[idx]
+        a, b = edges[idx, 0], edges[idx, 1]
+        m = edge_to_new[idx]
+        kept = np.stack([a[~is_split], b[~is_split]], axis=1)
+        ch1 = np.stack([a[is_split], m[is_split]], axis=1)
+        ch2 = np.stack([m[is_split], b[is_split]], axis=1)
+        ents = np.sort(
+            np.concatenate([kept, ch1, ch2], axis=0), axis=1
+        ).astype(INDEX_DTYPE)
+        out.entity_tags[1] = MeshTags(
+            dim=1,
+            entities=ents,
+            values=np.concatenate(
+                [vals[~is_split], vals[is_split], vals[is_split]]
+            ),
+        )
+    return out
