@@ -358,4 +358,35 @@ void lane_gather_fill(const int64_t* g, const int64_t* j,
     }
 }
 
+// Damage smoothing host loop (tpufem/cases/damage.py host twin of the
+// reference's FEniCSx/...cc:414-473 two-half-step iteration). nb is
+// the sentinel-padded ELL neighbor table (n, k) with pad entries == n;
+// per-row sums accumulate left-to-right over k, matching the NumPy
+// axis-sum of the twin element-for-element.
+void damage_smooth(const int32_t* nb, int64_t n, int64_t k,
+                   const double* inv_deg, double* d,
+                   int64_t iterations, double thresh) {
+    std::vector<double> ext((size_t)n + 1, 0.0);
+    std::vector<double> avg((size_t)n, 0.0);
+    auto neighbor_avg = [&]() {
+        std::copy(d, d + n, ext.begin());
+        ext[n] = 0.0;
+        for (int64_t i = 0; i < n; ++i) {
+            double s = 0.0;
+            const int32_t* row = nb + i * k;
+            for (int64_t j = 0; j < k; ++j) s += ext[row[j]];
+            avg[i] = s * inv_deg[i];
+        }
+    };
+    for (int64_t it = 0; it < iterations; ++it) {
+        neighbor_avg();
+        for (int64_t i = 0; i < n; ++i) {
+            double cand = d[i] < thresh ? avg[i] : 0.0;
+            d[i] = std::max(cand, d[i]);
+        }
+        neighbor_avg();
+        for (int64_t i = 0; i < n; ++i) d[i] = std::max(avg[i], d[i]);
+    }
+}
+
 }  // extern "C"

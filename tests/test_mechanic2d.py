@@ -185,3 +185,28 @@ def test_outputs_phase(tmp_path):
     u_bin = np.fromfile(tmp_path / "mechanic2d_u.bin", dtype=np.float64)
     assert u_bin.size == res.mesh.n_nodes * 3  # 2D vectors padded to 3
     assert res.timers.elapsed["8 Outputs"] > 0
+
+
+def test_smoothing_native_matches_numpy_twin(monkeypatch):
+    """The C++ damage_smooth must be bit-identical to the NumPy host
+    twin (same left-to-right per-row accumulation), on a mesh with
+    high-degree nodes (jittered Delaunay, k > 8)."""
+    from tpufem import native
+    from tpufem.cases.polycrystal import damage_seed_nodes, generate_polycrystal
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    mesh = generate_polycrystal(24, n_grains=8)
+    d0 = np.zeros(mesh.n_nodes)
+    d0[damage_seed_nodes(mesh, n_chains=6)] = 1.0
+    nat = np.asarray(
+        damage_mod.smooth_damage(mesh, d0, iterations=8, backend="host")
+    )
+    with monkeypatch.context() as m:
+        m.setattr(native, "damage_smooth", lambda *a, **k: None)
+        ref = np.asarray(
+            damage_mod.smooth_damage(mesh, d0, iterations=8,
+                                     backend="host")
+        )
+    np.testing.assert_array_equal(nat, ref)
+    assert (nat > 0).sum() > (d0 > 0).sum()

@@ -111,15 +111,34 @@ def _smooth_host(d, neighbors, inv_deg, iterations):
     sentinel-padded gather) for the remote-tunnel platform, where
     uploading the multi-hundred-MB neighbor table plus a remote compile
     costs far more than the host loop (measured: the whole damage phase
-    was 431 s of a 6.2M-DoF e2e, almost none of it device compute)."""
+    was 431 s of a 6.2M-DoF e2e, almost none of it device compute).
+
+    Hot sections run in native C++ when the library builds (same
+    left-to-right per-row accumulation, so results stay bit-identical
+    to this NumPy loop and to the jitted device path)."""
+    from tpufem import native
+
+    nd = native.damage_smooth(neighbors, inv_deg, d, iterations)
+    if nd is not None:
+        return nd
     d = np.asarray(d, dtype=np.float64).copy()
     ext = np.zeros(len(d) + 1)
+
+    def neighbor_avg():
+        # left-to-right column accumulation: bit-identical to the
+        # native per-row loop (NumPy's axis-sum switches to pairwise
+        # summation at k >= 8, which would differ by ~1 ulp)
+        ext[:-1] = d
+        g = ext[neighbors]
+        s = g[:, 0].copy()
+        for j in range(1, g.shape[1]):
+            s += g[:, j]
+        return s * inv_deg
+
     for _ in range(iterations):
-        ext[:-1] = d
-        avg = ext[neighbors].sum(axis=1) * inv_deg
+        avg = neighbor_avg()
         np.maximum(np.where(d < 0.01, avg, 0.0), d, out=d)
-        ext[:-1] = d
-        avg = ext[neighbors].sum(axis=1) * inv_deg
+        avg = neighbor_avg()
         np.maximum(avg, d, out=d)
     return d
 

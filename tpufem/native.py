@@ -58,6 +58,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.lane_copies.restype = ctypes.c_int64
             lib.rank_by_key.restype = None
             lib.lane_gather_fill.restype = None
+            lib.damage_smooth.restype = None
             _lib = lib
         except Exception:
             _build_failed = True
@@ -280,4 +281,25 @@ def morton_order(coords: np.ndarray) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     lib.morton_order(_ptr(coords, ctypes.c_double), ctypes.c_int64(n),
                      ctypes.c_int64(dim), _ptr(out, ctypes.c_int64))
+    return out
+
+
+def damage_smooth(nb: np.ndarray, inv_deg: np.ndarray, d: np.ndarray,
+                  iterations: int, thresh: float = 0.01):
+    """Native two-half-step damage smoothing over the sentinel-padded
+    ELL neighbor table (the reference loop of FEniCSx/...cc:414-473).
+    Returns the smoothed (n,) f64 array, or None if the native library
+    is unavailable (caller falls back to the NumPy twin)."""
+    lib = _load()
+    if lib is None:
+        return None
+    nb = np.ascontiguousarray(nb, dtype=np.int32)
+    inv_deg = np.ascontiguousarray(inv_deg, dtype=np.float64)
+    out = np.array(d, dtype=np.float64, copy=True, order="C")
+    n, k = nb.shape
+    lib.damage_smooth(
+        _ptr(nb, ctypes.c_int32), ctypes.c_int64(n), ctypes.c_int64(k),
+        _ptr(inv_deg, ctypes.c_double), _ptr(out, ctypes.c_double),
+        ctypes.c_int64(iterations), ctypes.c_double(thresh),
+    )
     return out
