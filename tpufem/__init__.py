@@ -32,4 +32,14 @@ __version__ = "0.1.0"
 
 from tpufem import config as config
 
-__all__ = ["config", "__version__"]
+# Host allocator: route NumPy's data memory through the
+# mmap+MADV_POPULATE_WRITE arena (native/hostmem.c). On the
+# snapshot-restored build VMs, first-touch page faults run at ~9 MB/s
+# while kernel-side population runs at GB/s — without this, large host
+# preprocessing (mesh gen, lane planning, gather tables) is fault-bound.
+# Silent no-op if the toolchain is missing; TPUFEM_NO_HOSTMEM disables.
+from tpufem import hostmem as hostmem
+
+hostmem.install()
+
+__all__ = ["config", "hostmem", "__version__"]

@@ -869,16 +869,31 @@ class LaneEngine:
 
     def make_solver(self, cfg: Optional[SolverConfig] = None, *,
                     cg_chunk: int = 100, fine_coeffs=None,
-                    twolevel_nc=None):
+                    twolevel_nc=None, cg_chunk_max: Optional[int] = None):
         """Chunked Newton-Krylov on the lane layout.
 
         ``cfg.preconditioner``: 'jacobi' (default) or 'twolevel' — the
         lattice-coarse two-level cycle (lane.twolevel), the unstructured
         BoomerAMG equivalent (measured ~30x fewer CG iterations).
         'twolevel' needs ``fine_coeffs`` (flat coefficient vectors, for
-        lattice sampling)."""
+        lattice sampling).
+
+        The per-dispatch chunk starts at ``cg_chunk`` and DOUBLES after
+        every non-converged chunk up to ``cg_chunk_max`` — on the
+        remote-tunnel platform the multi-second dispatch round trip
+        dominates solve wall time, so long solves must amortize it over
+        big chunks while short solves keep the small first chunk (the
+        overshoot past convergence is bounded by the last chunk's device
+        work, ~ms/iteration). Default cap: 16x on the remote platform,
+        1x (no growth, trace-count-stable) elsewhere."""
         cfg = cfg or SolverConfig()
         eng = self
+        if cg_chunk_max is None:
+            from tpufem.config import is_remote_device_platform
+
+            cg_chunk_max = (16 * cg_chunk
+                            if is_remote_device_platform() else cg_chunk)
+        cg_chunk_max = max(cg_chunk_max, cg_chunk)
         use_tl = cfg.preconditioner == "twolevel"
         if use_tl and fine_coeffs is None:
             raise ValueError("twolevel needs fine_coeffs")
@@ -984,13 +999,15 @@ class LaneEngine:
                 k = 0
                 stall = 0
                 best_rr = float("inf")
+                chunk = cg_chunk
                 while k < cfg.cg_maxit:
-                    nsteps = min(cg_chunk, cfg.cg_maxit - k)
+                    nsteps = min(chunk, cfg.cg_maxit - k)
                     state, rr = cg_chunk_fn(
                         nsteps, eng, u, coeff_cells, free, dinv, tl_data,
                         state
                     )
                     k += nsteps
+                    chunk = min(2 * chunk, cg_chunk_max)
                     rr = float(rr)
                     if rr < tol:
                         break
@@ -1039,7 +1056,8 @@ class LaneEngine:
     def make_mixed_solver(self, cfg: Optional[SolverConfig] = None, *,
                           cg_chunk: int = 20, fine_coeffs=None,
                           twolevel_nc=None, inner_dtype=None,
-                          f64_batch: int = 65536):
+                          f64_batch: int = 65536,
+                          cg_chunk_max: Optional[int] = None):
         """Mixed-precision defect-correction Newton-Krylov.
 
         Outer residuals, convergence control, line search and iterate
@@ -1070,6 +1088,15 @@ class LaneEngine:
         cfg = cfg or SolverConfig()
         eng = self
         idt = inner_dtype or jnp.float32
+        # chunk growth: same amortization contract as make_solver — the
+        # dispatch round trip (seconds on the tunnel) must not be paid
+        # per `cg_chunk` iterations on thousand-iteration solves
+        if cg_chunk_max is None:
+            from tpufem.config import is_remote_device_platform
+
+            cg_chunk_max = (16 * cg_chunk
+                            if is_remote_device_platform() else cg_chunk)
+        cg_chunk_max = max(cg_chunk_max, cg_chunk)
         use_tl = cfg.preconditioner == "twolevel"
         # 'amg': smoothed-aggregation hierarchy (la/amg.py, RBM
         # near-nullspace) built ONCE from the assembled Jacobian at the
@@ -1314,14 +1341,16 @@ class LaneEngine:
                     k = 0
                     stall = 0
                     best_rr = float("inf")
+                    chunk = cg_chunk
                     _t0 = _time.perf_counter()
                     while k < cfg.cg_maxit:
-                        nsteps = min(cg_chunk, cfg.cg_maxit - k)
+                        nsteps = min(chunk, cfg.cg_maxit - k)
                         state, rr = cg_chunk_fn(
                             nsteps, ieng, u_in, coeffs_in, free_in, dinv,
                             tl_data, state
                         )
                         k += nsteps
+                        chunk = min(2 * chunk, cg_chunk_max)
                         rr = float(rr)
                         if rr < tol:
                             break
