@@ -418,3 +418,111 @@ def test_jittered_mesh_with_tail_matches_assembler():
     np.testing.assert_allclose(
         t_lane, t_flat, rtol=0, atol=1e-10 * np.abs(t_flat).max()
     )
+
+
+@pytest.mark.parametrize(
+    "kind", ["p2_tri", "q1_quad", "q2_quad", "p1_tri_d2", "p2_tet",
+             "q1_hex"]
+)
+def test_lane_multiqp_fast_path(kind):
+    """Multi-qp specialized path (engine._try_specialize_multiqp):
+    P2/Q1/Q2 single-term functionals run with host-precomputed per-qp
+    geometry (reduced-variable kernels + fused blocks) instead of the
+    scalarized generic path. Residual/tangent/diagonal parity with the
+    flat Assembler, including the fused kernel in interpret mode."""
+    from tpufem.mesh import box
+    from tpufem.mesh.mesh import CellType
+
+    deg, qdeg = 1, 2
+    if kind == "p2_tri":
+        mesh, deg = unit_square(5), 2
+    elif kind == "q1_quad":
+        mesh = unit_square(6, cell_type=CellType.quad)
+    elif kind == "q2_quad":
+        mesh, deg, qdeg = unit_square(4, cell_type=CellType.quad), 2, 3
+    elif kind == "p1_tri_d2":
+        mesh = unit_square(6)
+    elif kind == "p2_tet":
+        mesh, deg = box(2, 2, 2, cell_type=CellType.tetra), 2
+    else:
+        mesh = box(3, 3, 3)
+    dim = mesh.x.shape[1]
+    V = FunctionSpace.create(mesh, deg, bs=dim)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = np.cos(3.0 * DS.dof_coords[:, 0]) * DS.dof_coords[:, 1]
+    # one term exercising gradient, value, coefficient and position
+    t = Term(
+        lambda qp: (1.0 + 0.5 * qp.coeff("d"))
+        * linear_elastic_psi(qp.eps, E, NU)
+        - 1e3 * qp.u[0] * qp.x[dim - 1],
+        qdeg,
+    )
+    F = EnergyFunctional(V, [t], [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0] * dim)]
+    asm = Assembler(F, bcs)
+    eng = LaneEngine(F, bcs, wg_own=8, interpret=True)
+    assert eng._mq is not None and eng._fast_fn is not None
+    assert eng._red_res is not None  # reduced-variable kernels active
+    coeffs = {"d": jnp.asarray(d)}
+    cc = eng.prepare_coeffs(coeffs)
+    rng = np.random.default_rng(3)
+    u_flat = rng.normal(size=V.n_dofs) * 1e-3
+    u_lane = jnp.asarray(eng.to_lane(u_flat))
+    r = eng.from_lane(eng.residual(u_lane, cc))
+    r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), coeffs))
+    assert np.abs(r - r_ref).max() < 1e-11 * np.abs(r_ref).max()
+    v_flat = rng.normal(size=V.n_dofs)
+    tv = eng.from_lane(
+        eng.tangent_action(u_lane, cc, jnp.asarray(eng.to_lane(v_flat)))
+    )
+    tv_ref = np.asarray(
+        asm.tangent_action(jnp.asarray(u_flat), coeffs,
+                           jnp.asarray(v_flat))
+    )
+    assert np.abs(tv - tv_ref).max() < 1e-11 * np.abs(tv_ref).max()
+    # diagonal parity on FREE dofs (the flat assembler's diagonal has
+    # identity rows at constrained dofs; the lane diagonal is raw)
+    dg = eng.from_lane(eng.diagonal(u_lane, cc))
+    dg_ref = np.asarray(asm.diagonal(jnp.asarray(u_flat), coeffs))
+    free = np.asarray(eng.from_lane(eng.free_lane)) > 0
+    err = np.abs((dg - dg_ref)[free]).max()
+    assert err < 1e-11 * np.abs(dg_ref[free]).max()
+
+
+def test_lane_multiqp_fused(monkeypatch):
+    """Fused gather+physics+scatter kernel on the multi-qp path (P2
+    triangles): parity with the unfused reduced path and the flat
+    Assembler in interpret mode."""
+    mesh = unit_square(5)
+    V = FunctionSpace.create(mesh, 2, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = 0.3 + 0.2 * np.sin(4 * DS.dof_coords[:, 0])
+    t = Term(
+        lambda qp: (1.0 + qp.coeff("d"))
+        * linear_elastic_psi(qp.eps, E, NU),
+        2,
+    )
+    F = EnergyFunctional(V, [t], [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    asm = Assembler(F, bcs)
+    eng = LaneEngine(F, bcs, wg_own=8, interpret=True, fused=True)
+    assert eng._mq is not None and eng._fused and eng.fused_geom is not None
+    coeffs = {"d": jnp.asarray(d)}
+    cc = eng.prepare_coeffs(coeffs)
+    rng = np.random.default_rng(4)
+    u_flat = rng.normal(size=V.n_dofs) * 1e-3
+    v_flat = rng.normal(size=V.n_dofs)
+    u_lane = jnp.asarray(eng.to_lane(u_flat))
+    r = eng.from_lane(eng.residual(u_lane, cc))  # fused path (has _cd)
+    r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), coeffs))
+    assert np.abs(r - r_ref).max() < 1e-11 * np.abs(r_ref).max()
+    tv = eng.from_lane(
+        eng.tangent_action(u_lane, cc, jnp.asarray(eng.to_lane(v_flat)))
+    )
+    tv_ref = np.asarray(
+        asm.tangent_action(jnp.asarray(u_flat), coeffs,
+                           jnp.asarray(v_flat))
+    )
+    assert np.abs(tv - tv_ref).max() < 1e-11 * np.abs(tv_ref).max()

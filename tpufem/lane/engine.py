@@ -98,7 +98,10 @@ class LaneEngine:
         # contraction.
         self.geom_dN = self.geom_w = self.geom_xq = None
         self._geom_host = None
+        self._mq = None  # multi-qp static tables (P2/Q1/... fast path)
         self._fast_fn = self._try_specialize_p1()
+        if self._fast_fn is None:
+            self._fast_fn = self._try_specialize_multiqp()
         # per-cell vertex coordinates for the GENERIC element path only
         # — when the P1 fast path is active the physics reads the
         # precomputed geom_dN/w/xq instead, and uploading x_lane would
@@ -132,7 +135,10 @@ class LaneEngine:
         # B-chain (dof -> gradient components) is applied explicitly.
         self._red_res = self._red_tan = None
         if self._fast_fn is not None:
-            self._red_res, self._red_tan = self._make_reduced_fns()
+            self._red_res, self._red_tan = (
+                self._make_reduced_fns_mq() if self._mq is not None
+                else self._make_reduced_fns()
+            )
 
         # fused-kernel static cell data: geometry rows (G, Dg, kc, 128)
         # streamed block-wise into lane_fused_elem (gather + physics +
@@ -148,12 +154,21 @@ class LaneEngine:
         )
         if self._fused:
             M = p.G * p.kc * N_LANES
-            dN_h, w_h, xq_h = self._geom_host  # (nv,gd,M), (M,), (gd,M)
-            gd = xq_h.shape[0]
-            rows = np.concatenate(
-                [dN_h.reshape(p.nv * gd, M), w_h[None, :], xq_h],
-                axis=0,
-            )
+            dN_h, w_h, xq_h = self._geom_host
+            if self._mq is not None:
+                # (nq,nv,gd,M), (nq,M), (nq,gd,M) -> stacked rows
+                nq_, _nv_, gd, _M_ = dN_h.shape
+                rows = np.concatenate(
+                    [dN_h.reshape(nq_ * p.nv * gd, M), w_h,
+                     xq_h.reshape(nq_ * gd, M)],
+                    axis=0,
+                )
+            else:  # P1: (nv,gd,M), (M,), (gd,M)
+                gd = xq_h.shape[0]
+                rows = np.concatenate(
+                    [dN_h.reshape(p.nv * gd, M), w_h[None, :], xq_h],
+                    axis=0,
+                )
             Dg = rows.shape[0]
             self.fused_geom = self._store(
                 np.ascontiguousarray(
@@ -162,7 +177,8 @@ class LaneEngine:
             )
             try:
                 self._elem_grad_block, self._elem_jvp_block = (
-                    self._make_block_fns()
+                    self._make_block_fns_mq() if self._mq is not None
+                    else self._make_block_fns()
                 )
             except Exception:  # integrand needs real array ops on QP
                 self._fused = False
@@ -367,6 +383,196 @@ class LaneEngine:
 
         return energy_fast
 
+    def _try_specialize_multiqp(self):
+        """Multi-quadrature-point fast path: P2 simplex, Q1/Q2 quad,
+        Q1 hex, and P1 with degree>1 rules — any single cell term whose
+        element geometry can be precomputed host-side. Generalizes the
+        P1 specialization: per-qp physical gradients dN (nq, nv, gd, M),
+        weights w (nq, M) and points xq (nq, gd, M) are built once on
+        host (f64), and the static basis values N (nq, nv) / per-
+        coefficient N_c (nq, nvc) are baked into the element kernels as
+        scalar constants. Replaces the scalarized generic path (which
+        recomputes J per evaluation from an uploaded per-cell vertex
+        table) for these elements; covers the reference's P2 variants
+        (FEniCSx degree-2 runs, doc.tex:2065) at specialized-path
+        speed. Returns the element energy closure or None."""
+        f = self.functional
+        mesh = self.space.mesh
+        from tpufem.mesh.mesh import CellType
+
+        if mesh.cell_type not in (CellType.triangle, CellType.tetra,
+                                  CellType.quad, CellType.hexahedron):
+            return None
+        if len(f.terms) != 1 or f.facet_terms:
+            return None
+        term = f.terms[0]
+        if term.needs_coeff_grads:
+            return None
+
+        from tpufem.elements.lagrange import element
+        from tpufem.elements.quadrature import quadrature
+
+        felem = self.space.element
+        qpts, qw = quadrature(mesh.cell_type, term.degree)
+        nq = len(qw)
+        nv = self.plan.nv
+        if nq * nv > 160:  # Q2 hex etc.: generic path
+            return None
+        Nf = np.asarray(felem.tabulate(qpts), np.float64)  # (nq, nv)
+        dNf = np.asarray(felem.tabulate_grad(qpts), np.float64)
+        gelem = element(mesh.cell_type, 1)
+        Ng = np.asarray(gelem.tabulate(qpts), np.float64)  # (nq, nvg)
+        dNg = np.asarray(gelem.tabulate_grad(qpts), np.float64)
+        simplex = mesh.cell_type in (CellType.triangle, CellType.tetra)
+
+        x = mesh.x.astype(np.float64)
+        gcells = np.asarray(mesh.cells)[self._safe_order]  # (M, nvg)
+        nvg = gcells.shape[1]
+        gdim = x.shape[1]
+        dim = qpts.shape[1]
+        M = len(gcells)
+        # per-component vertex coordinates (1-D gathers)
+        xv = [[x[gcells[:, v], d] for d in range(gdim)]
+              for v in range(nvg)]
+
+        def inv_det(J):
+            """Adjugate inverse of a square per-component matrix
+            J[d][i] = dx_d/dxi_i (lists of (M,) arrays). Returns
+            (Ji[i][d] = dxi_i/dx_d, detJ)."""
+            if dim == 1:
+                det = J[0][0]
+                return [[1.0 / det]], det
+            if dim == 2:
+                a, b = J[0][0], J[0][1]
+                c, d2 = J[1][0], J[1][1]
+                det = a * d2 - b * c
+                r = 1.0 / det
+                return [[d2 * r, -b * r], [-c * r, a * r]], det
+            a, b, c = J[0][0], J[0][1], J[0][2]
+            d3, e3, f3 = J[1][0], J[1][1], J[1][2]
+            g, h, i = J[2][0], J[2][1], J[2][2]
+            A = e3 * i - f3 * h
+            B = f3 * g - d3 * i
+            C = d3 * h - e3 * g
+            det = a * A + b * B + c * C
+            r = 1.0 / det
+            Ji = [
+                [A * r, (c * h - b * i) * r, (b * f3 - c * e3) * r],
+                [B * r, (a * i - c * g) * r, (c * d3 - a * f3) * r],
+                [C * r, (b * g - a * h) * r, (a * e3 - b * d3) * r],
+            ]
+            return Ji, det
+
+        def jac_at(q):
+            """J[d][i] = sum_v xv[v][d] * dNg[q, v, i], zeros skipped."""
+            J = []
+            for d in range(gdim):
+                row = []
+                for i in range(dim):
+                    acc = None
+                    for v in range(nvg):
+                        wvi = float(dNg[q, v, i])
+                        if wvi == 0.0:
+                            continue
+                        t = xv[v][d] if wvi == 1.0 else wvi * xv[v][d]
+                        acc = t if acc is None else acc + t
+                    row.append(acc if acc is not None
+                               else np.zeros(M))
+                J.append(row)
+            return J
+
+        dN_t = np.empty((nq, nv, gdim, M))
+        w_t = np.empty((nq, M))
+        xq_t = np.empty((nq, gdim, M))
+        Ji = det = None
+        for q in range(nq):
+            if Ji is None or not simplex:  # simplex: J is cell-constant
+                Ji, det = inv_det(jac_at(q))
+            w_t[q] = np.abs(det) * float(qw[q])
+            for v in range(nv):
+                for j in range(gdim):
+                    acc = None
+                    for i in range(dim):
+                        wvi = float(dNf[q, v, i])
+                        if wvi == 0.0:
+                            continue
+                        t = (Ji[i][j] if wvi == 1.0
+                             else wvi * Ji[i][j])
+                        acc = t if acc is None else acc + t
+                    dN_t[q, v, j] = 0.0 if acc is None else acc
+            for d in range(gdim):
+                acc = None
+                for v in range(nvg):
+                    wv = float(Ng[q, v])
+                    if wv == 0.0:
+                        continue
+                    t = xv[v][d] if wv == 1.0 else wv * xv[v][d]
+                    acc = t if acc is None else acc + t
+                xq_t[q, d] = acc
+
+        self._geom_host = (dN_t, w_t, xq_t)
+        self.geom_dN = self._store(dN_t)
+        self.geom_w = self._store(w_t)
+        self.geom_xq = self._store(xq_t)
+
+        # static coefficient basis tables (None marks a P0 coefficient:
+        # one dof per cell, value used directly)
+        Nc = {}
+        for c in f.coefficients:
+            ndofc = self._coeff_dofmaps[c.name].shape[1] // c.space.bs
+            if ndofc == 1:
+                Nc[c.name] = None
+            else:
+                Nc[c.name] = np.asarray(
+                    c.space.element.tabulate(qpts), np.float64
+                )
+        self._mq = dict(nq=nq, Nf=Nf, Nc=Nc)
+
+        bs = self.bs
+        integrand = term.integrand
+        coeff_meta = [
+            (c.name, self._coeff_dofmaps[c.name].shape[1] // c.space.bs,
+             c.space.bs)
+            for c in f.coefficients
+        ]
+
+        from tpufem.forms.form import QP
+
+        def lin(get, wrow):
+            acc = None
+            for i, wi in enumerate(wrow):
+                wi = float(wi)
+                if wi == 0.0:
+                    continue
+                t = get(i) if wi == 1.0 else wi * get(i)
+                acc = t if acc is None else acc + t
+            return acc
+
+        def energy_mq(u_e, g, c_es):
+            # u_e (nv*bs,); g = (dN (nq,nv,gd), w (nq,), xq (nq,gd))
+            dNc, wc, xqc = g
+            u = u_e.reshape(nv, bs)
+            total = jnp.zeros((), u_e.dtype)
+            for q in range(nq):
+                grad_u = jnp.zeros((bs, gdim), u_e.dtype)
+                for v in range(nv):
+                    grad_u = grad_u + u[v][:, None] * dNc[q, v][None, :]
+                u_q = lin(lambda v: u[v], Nf[q])
+                cvals = {}
+                for name, ndofc, cb in coeff_meta:
+                    ce = c_es[name].reshape(ndofc, cb)
+                    if ndofc == 1:
+                        val = ce[0]
+                    else:
+                        val = lin(lambda i: ce[i], Nc[name][q])
+                    cvals[name] = val[0] if cb == 1 else val
+                qp = QP(grad_u, u_q[0] if bs == 1 else u_q, xqc[q],
+                        cvals, {})
+                total = total + integrand(qp) * wc[q]
+            return total
+
+        return energy_mq
+
     def _make_reduced_fns(self):
         """Residual / tangent element kernels via reduced-variable AD.
 
@@ -480,6 +686,150 @@ class LaneEngine:
                 jax.ShapeDtypeStruct((nv, gd, M4), jnp.float32),
                 jax.ShapeDtypeStruct((M4,), jnp.float32),
                 jax.ShapeDtypeStruct((gd, M4), jnp.float32),
+            )
+        except Exception:
+            return None, None
+        return red_residual, red_tangent
+
+    def _make_reduced_fns_mq(self):
+        """Multi-qp variant of :meth:`_make_reduced_fns`: the reduced
+        variables are the per-quadrature-point gradient components and
+        basis-interpolated values (nq * bs * (gd + 1) flat (M,) arrays);
+        the chain back to dof rows applies the per-qp dN tables and the
+        static basis weights Nf (zeros skipped)."""
+        p = self.plan
+        mesh = self.space.mesh
+        bs = self.bs
+        nv, gd = p.nv, mesh.gdim
+        nd = nv * bs
+        nq = self._mq["nq"]
+        Nf = self._mq["Nf"]
+        Nc = self._mq["Nc"]
+        integrand = self.functional.terms[0].integrand
+        coeff_meta = []  # (name, ndofc, cb)
+        for c in self.functional.coefficients:
+            n = self._coeff_dofmaps[c.name].shape[1]
+            cb = c.space.bs
+            coeff_meta.append((c.name, n // cb, cb))
+        nGt = nq * bs * gd  # total gradient args; values follow
+
+        from tpufem.forms.form import QP
+        from tpufem.forms.smat import SMat, SVec
+
+        def make_Etot(cvals_q, xq, w):
+            def Etot(*a):
+                total = None
+                for q in range(nq):
+                    grad_u = SMat(
+                        [[a[(q * bs + c) * gd + d] for d in range(gd)]
+                         for c in range(bs)]
+                    )
+                    if bs == 1:
+                        uq = a[nGt + q * bs]
+                    else:
+                        uq = SVec([a[nGt + q * bs + c]
+                                   for c in range(bs)])
+                    qp = QP(grad_u, uq,
+                            SVec([xq[q, d] for d in range(gd)]),
+                            cvals_q[q], {})
+                    t = integrand(qp) * w[q]
+                    total = t if total is None else total + t
+                return jnp.sum(total)
+
+            return Etot
+
+        def reduced_args(u_cells, dN):
+            a = []
+            for q in range(nq):
+                for c in range(bs):
+                    for d in range(gd):
+                        acc = None
+                        for v in range(nv):
+                            t = u_cells[v * bs + c] * dN[q, v, d]
+                            acc = t if acc is None else acc + t
+                        a.append(acc)
+            for q in range(nq):
+                for c in range(bs):
+                    acc = None
+                    for v in range(nv):
+                        wv = float(Nf[q, v])
+                        if wv == 0.0:
+                            continue
+                        t = (u_cells[v * bs + c] if wv == 1.0
+                             else wv * u_cells[v * bs + c])
+                        acc = t if acc is None else acc + t
+                    a.append(acc)
+            return tuple(a)
+
+        def cell_cvals(coeffs):
+            out = []
+            for q in range(nq):
+                cvals = {}
+                for nm, ndofc, cb in coeff_meta:
+                    ce = coeffs[nm]  # (ndofc*cb, M)
+                    comps = []
+                    for j in range(cb):
+                        if ndofc == 1:
+                            comps.append(ce[j])
+                        else:
+                            acc = None
+                            for i in range(ndofc):
+                                wv = float(Nc[nm][q, i])
+                                if wv == 0.0:
+                                    continue
+                                t = (ce[i * cb + j] if wv == 1.0
+                                     else wv * ce[i * cb + j])
+                                acc = t if acc is None else acc + t
+                            comps.append(acc)
+                    cvals[nm] = comps[0] if cb == 1 else SVec(comps)
+                out.append(cvals)
+            return out
+
+        argnums = tuple(range(nGt + nq * bs))
+
+        def chain_back(g, dN, dtype):
+            rows = []
+            for v in range(nv):
+                for c in range(bs):
+                    acc = None
+                    for q in range(nq):
+                        for d in range(gd):
+                            t = g[(q * bs + c) * gd + d] * dN[q, v, d]
+                            acc = t if acc is None else acc + t
+                        wv = float(Nf[q, v])
+                        if wv != 0.0:
+                            t = (g[nGt + q * bs + c] if wv == 1.0
+                                 else wv * g[nGt + q * bs + c])
+                            acc = t if acc is None else acc + t
+                    rows.append(acc)
+            return jnp.stack(rows)
+
+        def red_residual(u_cells, coeffs, dN, w, xq):
+            Etot = make_Etot(cell_cvals(coeffs), xq, w)
+            g = jax.grad(Etot, argnums=argnums)(
+                *reduced_args(u_cells, dN)
+            )
+            return chain_back(g, dN, u_cells.dtype)
+
+        def red_tangent(u_cells, v_cells, coeffs, dN, w, xq):
+            Etot = make_Etot(cell_cvals(coeffs), xq, w)
+            gfn = lambda *a: jax.grad(Etot, argnums=argnums)(*a)
+            dg = jax.jvp(
+                gfn, reduced_args(u_cells, dN),
+                reduced_args(v_cells, dN),
+            )[1]
+            return chain_back(dg, dN, u_cells.dtype)
+
+        try:
+            M4 = 4 * N_LANES
+            jax.eval_shape(
+                red_residual,
+                jax.ShapeDtypeStruct((nd, M4), jnp.float32),
+                {nm: jax.ShapeDtypeStruct((ndofc * cb, M4), jnp.float32)
+                 for nm, ndofc, cb in coeff_meta},
+                jax.ShapeDtypeStruct((nq, nv, gd, M4), jnp.float32),
+                jax.ShapeDtypeStruct((nq, M4), jnp.float32),
+                jax.ShapeDtypeStruct((nq, gd, M4), jnp.float32),
             )
         except Exception:
             return None, None
@@ -609,6 +959,132 @@ class LaneEngine:
             (jax.ShapeDtypeStruct((Dg, 4, N_LANES), jnp.float32),),
         )
         del probe
+        return elem_grad, elem_jvp
+
+    def _make_block_fns_mq(self):
+        """Multi-qp variant of :meth:`_make_block_fns` for the fused
+        kernel. Geometry column layout (matches the ctor's fused_geom
+        row build): dN rows (q*nv+v)*gd+d, then nq weight rows, then
+        nq*gd quadrature-point rows."""
+        p = self.plan
+        mesh = self.space.mesh
+        bs = self.bs
+        nv, gd = p.nv, mesh.gdim
+        nd = nv * bs
+        nq = self._mq["nq"]
+        Nf = self._mq["Nf"]
+        Nc = self._mq["Nc"]
+        integrand = self.functional.terms[0].integrand
+        coeff_meta = []  # (name, offset, ndofc, cb)
+        a = 0
+        for c in self.functional.coefficients:
+            n = self._coeff_dofmaps[c.name].shape[1]
+            cb = c.space.bs
+            coeff_meta.append((c.name, a, n // cb, cb))
+            a += n
+
+        from tpufem.forms.form import QP
+        from tpufem.forms.smat import SMat, SVec
+
+        ngr = nq * nv * gd  # dN rows; w rows follow, then xq rows
+
+        def energy_t(u_t, gcol, ccol):
+            total = None
+            for q in range(nq):
+                grad_rows = []
+                for c in range(bs):
+                    row = []
+                    for d in range(gd):
+                        acc = None
+                        for v in range(nv):
+                            t = (u_t[v * bs + c]
+                                 * gcol[(q * nv + v) * gd + d])
+                            acc = t if acc is None else acc + t
+                        row.append(acc)
+                    grad_rows.append(row)
+                grad_u = SMat(grad_rows)
+                uq = []
+                for c in range(bs):
+                    acc = None
+                    for v in range(nv):
+                        wv = float(Nf[q, v])
+                        if wv == 0.0:
+                            continue
+                        t = (u_t[v * bs + c] if wv == 1.0
+                             else wv * u_t[v * bs + c])
+                        acc = t if acc is None else acc + t
+                    uq.append(acc)
+                u_q = uq[0] if bs == 1 else SVec(uq)
+                wc = gcol[ngr + q]
+                xqc = SVec([gcol[ngr + nq + q * gd + d]
+                            for d in range(gd)])
+                cvals = {}
+                for nm, off, ndofc, cb in coeff_meta:
+                    comps = []
+                    for j in range(cb):
+                        if ndofc == 1:
+                            comps.append(ccol[off + j])
+                        else:
+                            acc = None
+                            for i in range(ndofc):
+                                wv = float(Nc[nm][q, i])
+                                if wv == 0.0:
+                                    continue
+                                t = (ccol[off + i * cb + j] if wv == 1.0
+                                     else wv * ccol[off + i * cb + j])
+                                acc = t if acc is None else acc + t
+                            comps.append(acc)
+                    cvals[nm] = comps[0] if cb == 1 else SVec(comps)
+                qp = QP(grad_u, u_q, xqc, cvals, {})
+                t = integrand(qp) * wc
+                total = t if total is None else total + t
+            return total
+
+        g1 = jax.grad(energy_t, argnums=0)
+
+        def v2(f, n_in):
+            ax = (-1,) * n_in
+            return jax.vmap(
+                jax.vmap(f, in_axes=ax, out_axes=-1),
+                in_axes=ax, out_axes=-1,
+            )
+
+        G2 = v2(g1, 3)
+
+        def _ccol(cds):
+            return cds[1] if coeff_meta else jnp.zeros(
+                (0,) + cds[0].shape[1:], cds[0].dtype
+            )
+
+        def elem_grad(u_blocks, cds):
+            (u,) = u_blocks  # (nd, K, L)
+            u_t = tuple(u[i] for i in range(nd))
+            ev = G2(u_t, cds[0], _ccol(cds))
+            return jnp.stack(ev, axis=0)
+
+        def hvp1(u_t, v_t, gcol, ccol):
+            return jax.jvp(
+                lambda w_: g1(w_, gcol, ccol), (u_t,), (v_t,)
+            )[1]
+
+        H2 = v2(hvp1, 4)
+
+        def elem_jvp(u_blocks, cds):
+            u, v = u_blocks
+            u_t = tuple(u[i] for i in range(nd))
+            v_t = tuple(v[i] for i in range(nd))
+            ev = H2(u_t, v_t, cds[0], _ccol(cds))
+            return jnp.stack(ev, axis=0)
+
+        Dg = ngr + nq + nq * gd
+        jax.eval_shape(
+            elem_grad,
+            (jax.ShapeDtypeStruct((nd, 4, N_LANES), jnp.float32),),
+            (jax.ShapeDtypeStruct((Dg, 4, N_LANES), jnp.float32),
+             jax.ShapeDtypeStruct((max(a, 0), 4, N_LANES), jnp.float32))
+            if coeff_meta else
+            (jax.ShapeDtypeStruct((Dg, 4, N_LANES), jnp.float32),),
+        )
         return elem_grad, elem_jvp
 
     def _can_fuse(self, coeff_cells) -> bool:
