@@ -192,18 +192,20 @@ def test_lane_element_coverage(kind):
     V = FunctionSpace.create(mesh, deg, bs=dim)
     DS = FunctionSpace.create(mesh, 1, bs=1)
     d = np.cos(3.0 * DS.dof_coords[:, 0]) * DS.dof_coords[:, 1]
+    # DIFFERENT quadrature degrees per term: the multi-qp specialization
+    # only folds terms sharing one rule, so this keeps the scalarized
+    # generic element path under test
     terms = [
         Term(lambda qp: (1.0 + 0.5 * qp.coeff("d"))
              * linear_elastic_psi(qp.eps, E, NU), qdeg),
-        Term(lambda qp: -1e3 * qp.u[0] * qp.x[dim - 1], qdeg),
+        Term(lambda qp: -1e3 * qp.u[0] * qp.x[dim - 1], qdeg + 1),
     ]
     F = EnergyFunctional(V, terms, [Coefficient("d", DS)])
     left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
     bcs = [DirichletBC(V, left, [0.0] * dim)]
     asm = Assembler(F, bcs)
     eng = LaneEngine(F, bcs, wg_own=8, interpret=True)
-    if kind != "p1_tet":
-        assert eng._fast_fn is None  # generic elementwise path active
+    assert eng._fast_fn is None  # generic elementwise path active
     coeffs = {"d": jnp.asarray(d)}
     cc = eng.prepare_coeffs(coeffs)
     rng = np.random.default_rng(2)
@@ -516,6 +518,44 @@ def test_lane_multiqp_fused(monkeypatch):
     v_flat = rng.normal(size=V.n_dofs)
     u_lane = jnp.asarray(eng.to_lane(u_flat))
     r = eng.from_lane(eng.residual(u_lane, cc))  # fused path (has _cd)
+    r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), coeffs))
+    assert np.abs(r - r_ref).max() < 1e-11 * np.abs(r_ref).max()
+    tv = eng.from_lane(
+        eng.tangent_action(u_lane, cc, jnp.asarray(eng.to_lane(v_flat)))
+    )
+    tv_ref = np.asarray(
+        asm.tangent_action(jnp.asarray(u_flat), coeffs,
+                           jnp.asarray(v_flat))
+    )
+    assert np.abs(tv - tv_ref).max() < 1e-11 * np.abs(tv_ref).max()
+
+
+def test_lane_multiqp_multi_term_fold():
+    """Multiple cell terms sharing one quadrature degree fold into a
+    single combined integrand on the multi-qp fast path (the common
+    stiffness + load shape); parity with the flat Assembler."""
+    mesh = unit_square(6)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = 0.2 + 0.1 * DS.dof_coords[:, 0]
+    terms = [
+        Term(lambda qp: (1.0 + qp.coeff("d"))
+             * linear_elastic_psi(qp.eps, E, NU), 1),
+        Term(lambda qp: -1e3 * qp.u[1] * qp.x[0], 1),
+    ]
+    F = EnergyFunctional(V, terms, [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    asm = Assembler(F, bcs)
+    eng = LaneEngine(F, bcs, wg_own=8, interpret=True)
+    assert eng._mq is not None and eng._red_res is not None
+    coeffs = {"d": jnp.asarray(d)}
+    cc = eng.prepare_coeffs(coeffs)
+    rng = np.random.default_rng(6)
+    u_flat = rng.normal(size=V.n_dofs) * 1e-3
+    v_flat = rng.normal(size=V.n_dofs)
+    u_lane = jnp.asarray(eng.to_lane(u_flat))
+    r = eng.from_lane(eng.residual(u_lane, cc))
     r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), coeffs))
     assert np.abs(r - r_ref).max() < 1e-11 * np.abs(r_ref).max()
     tv = eng.from_lane(

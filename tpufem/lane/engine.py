@@ -403,17 +403,31 @@ class LaneEngine:
         if mesh.cell_type not in (CellType.triangle, CellType.tetra,
                                   CellType.quad, CellType.hexahedron):
             return None
-        if len(f.terms) != 1 or f.facet_terms:
+        if not f.terms or f.facet_terms:
             return None
-        term = f.terms[0]
-        if term.needs_coeff_grads:
+        if any(t.needs_coeff_grads for t in f.terms):
             return None
+        # multiple cell terms sharing one quadrature degree fold into a
+        # single combined integrand (the common stiffness+load shape)
+        qdeg = f.terms[0].degree
+        if any(t.degree != qdeg for t in f.terms[1:]):
+            return None
+        if len(f.terms) == 1:
+            integrand0 = f.terms[0].integrand
+        else:
+            fns = [t.integrand for t in f.terms]
+
+            def integrand0(qp):
+                acc = fns[0](qp)
+                for fn in fns[1:]:
+                    acc = acc + fn(qp)
+                return acc
 
         from tpufem.elements.lagrange import element
         from tpufem.elements.quadrature import quadrature
 
         felem = self.space.element
-        qpts, qw = quadrature(mesh.cell_type, term.degree)
+        qpts, qw = quadrature(mesh.cell_type, qdeg)
         nq = len(qw)
         nv = self.plan.nv
         if nq * nv > 160:  # Q2 hex etc.: generic path
@@ -526,10 +540,10 @@ class LaneEngine:
                 Nc[c.name] = np.asarray(
                     c.space.element.tabulate(qpts), np.float64
                 )
-        self._mq = dict(nq=nq, Nf=Nf, Nc=Nc)
+        self._mq = dict(nq=nq, Nf=Nf, Nc=Nc, integrand=integrand0)
 
         bs = self.bs
-        integrand = term.integrand
+        integrand = integrand0
         coeff_meta = [
             (c.name, self._coeff_dofmaps[c.name].shape[1] // c.space.bs,
              c.space.bs)
@@ -705,7 +719,7 @@ class LaneEngine:
         nq = self._mq["nq"]
         Nf = self._mq["Nf"]
         Nc = self._mq["Nc"]
-        integrand = self.functional.terms[0].integrand
+        integrand = self._mq["integrand"]
         coeff_meta = []  # (name, ndofc, cb)
         for c in self.functional.coefficients:
             n = self._coeff_dofmaps[c.name].shape[1]
@@ -974,7 +988,7 @@ class LaneEngine:
         nq = self._mq["nq"]
         Nf = self._mq["Nf"]
         Nc = self._mq["Nc"]
-        integrand = self.functional.terms[0].integrand
+        integrand = self._mq["integrand"]
         coeff_meta = []  # (name, offset, ndofc, cb)
         a = 0
         for c in self.functional.coefficients:
