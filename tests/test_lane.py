@@ -566,3 +566,18 @@ def test_lane_multiqp_multi_term_fold():
                            jnp.asarray(v_flat))
     )
     assert np.abs(tv - tv_ref).max() < 1e-11 * np.abs(tv_ref).max()
+
+
+def test_lane_rejects_facet_terms():
+    """The lane pipeline evaluates cell terms only — a functional with
+    facet terms must be rejected loudly, never silently dropped."""
+    from tpufem.forms.form import FacetTerm
+
+    mesh = unit_square(4)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    t = Term(lambda qp: linear_elastic_psi(qp.eps, E, NU), 1)
+    ft = FacetTerm(lambda qp: 1e3 * qp.u[0], 2,
+                   facets=np.array([0], dtype=np.int64))
+    F = EnergyFunctional(V, [t], facet_terms=[ft])
+    with pytest.raises(NotImplementedError):
+        LaneEngine(F, [], interpret=True)

@@ -55,6 +55,16 @@ class LaneEngine:
         space = functional.space
         if space.element.degree < 1:
             raise NotImplementedError("lane engine needs degree >= 1")
+        if functional.facet_terms:
+            # the lane element pipeline evaluates CELL terms only; a
+            # silent drop of boundary loads would be a wrong answer,
+            # not a slow one. Use the flat Assembler for facet-loaded
+            # problems (reference parity: surface tractions ride the
+            # exterior-facet kernels, FEniCSx ds-measure terms).
+            raise NotImplementedError(
+                "LaneEngine does not assemble facet terms; use "
+                "tpufem.assemble.Assembler for facet-loaded functionals"
+            )
         self.functional = functional
         self.space = space
         self.bs = space.bs
