@@ -584,3 +584,37 @@ def test_lane_rejects_facet_terms():
     F = EnergyFunctional(V, [t], facet_terms=[ft])
     with pytest.raises(NotImplementedError):
         LaneEngine(F, [], interpret=True)
+
+
+def test_lane_neohookean_fallback_parity():
+    """Large-deformation neo-Hookean on the lane engine: the integrand
+    does real matrix ops (det, trace) on qp.grad_u, so the scalarized
+    reduced/fused kernels refuse at trace time and the engine falls
+    back to the vmapped fast path — which must match the flat
+    Assembler exactly."""
+    from tpufem.forms.potentials import neo_hookean_psi
+
+    mesh = unit_square(8)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    t = Term(lambda qp: neo_hookean_psi(qp.grad_u, E, NU), 1)
+    F = EnergyFunctional(V, [t])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    asm = Assembler(F, bcs)
+    eng = LaneEngine(F, bcs, wg_own=8, interpret=True)
+    assert eng._fast_fn is not None  # P1 specialization active
+    assert eng._red_res is None  # scalarized kernels refused (det/trace)
+    rng = np.random.default_rng(7)
+    u_flat = rng.normal(size=V.n_dofs) * 1e-2
+    v_flat = rng.normal(size=V.n_dofs)
+    u_lane = jnp.asarray(eng.to_lane(u_flat))
+    r = eng.from_lane(eng.residual(u_lane, {}))
+    r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), {}))
+    assert np.abs(r - r_ref).max() < 1e-11 * np.abs(r_ref).max()
+    tv = eng.from_lane(
+        eng.tangent_action(u_lane, {}, jnp.asarray(eng.to_lane(v_flat)))
+    )
+    tv_ref = np.asarray(
+        asm.tangent_action(jnp.asarray(u_flat), {}, jnp.asarray(v_flat))
+    )
+    assert np.abs(tv - tv_ref).max() < 1e-11 * np.abs(tv_ref).max()
