@@ -587,11 +587,10 @@ def test_lane_rejects_facet_terms():
 
 
 def test_lane_neohookean_fallback_parity():
-    """Large-deformation neo-Hookean on the lane engine: the integrand
-    does real matrix ops (det, trace) on qp.grad_u, so the scalarized
-    reduced/fused kernels refuse at trace time and the engine falls
-    back to the vmapped fast path — which must match the flat
-    Assembler exactly."""
+    """Large-deformation neo-Hookean on the lane engine. The potential
+    is written against the polymorphic smat helpers (trace/matmul/det/
+    add_identity), so the scalarized reduced kernels accept it — large
+    deformation runs the fast path, matching the flat Assembler."""
     from tpufem.forms.potentials import neo_hookean_psi
 
     mesh = unit_square(8)
@@ -603,7 +602,7 @@ def test_lane_neohookean_fallback_parity():
     asm = Assembler(F, bcs)
     eng = LaneEngine(F, bcs, wg_own=8, interpret=True)
     assert eng._fast_fn is not None  # P1 specialization active
-    assert eng._red_res is None  # scalarized kernels refused (det/trace)
+    assert eng._red_res is not None  # smat-polymorphic: reduced kernels OK
     rng = np.random.default_rng(7)
     u_flat = rng.normal(size=V.n_dofs) * 1e-2
     v_flat = rng.normal(size=V.n_dofs)

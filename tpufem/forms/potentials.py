@@ -139,13 +139,20 @@ def neo_hookean_psi(grad_u, E, nu):
 
     The consistent tangent the reference derives with dual numbers
     (``admfem.hpp`` Hessian path) comes from jax.hessian here.
+
+    Written against the polymorphic small-matrix helpers
+    (forms.smat.trace/matmul/det/add_identity) so the same code runs on
+    real jnp matrices (flat Assembler) AND on the lane engine's SMat
+    scalar containers — putting large deformation on the fused/reduced
+    TPU kernels.
     """
+    from tpufem.forms import smat
+
     lam, mu = lame_parameters(E, nu)
     dim = grad_u.shape[0]
-    F = jnp.eye(dim, dtype=grad_u.dtype) + grad_u
-    C = F.T @ F
-    Ic = jnp.trace(C)
-    detF = jnp.linalg.det(F)
+    F = smat.add_identity(grad_u)
+    Ic = smat.trace(smat.matmul(F.T, F))
+    detF = smat.det(F)
     # clamp for AD safety under inverted trial states
     J_safe = jnp.maximum(detF, 1e-12)
     lnJ = jnp.log(J_safe)

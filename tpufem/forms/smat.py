@@ -126,3 +126,72 @@ class SMat:
             t = self.rows[i][i]
             acc = t if acc is None else acc + t
         return acc
+
+
+# ---- polymorphic small-matrix helpers ---------------------------------------
+# Potentials written against these work on BOTH paths: real jnp arrays
+# (flat Assembler, vmapped element kernels) and SMat scalar containers
+# (the lane engine's reduced/fused kernels, where jnp matrix ops would
+# force un-lowerable pads/concats in Mosaic). Structural loops unroll at
+# trace time; dims are 2 or 3.
+
+
+def trace(A):
+    if isinstance(A, SMat):
+        return A.trace()
+    import jax.numpy as jnp
+
+    return jnp.trace(A)
+
+
+def matmul(A, B):
+    """A @ B for SMat/SMat (structural) or jnp arrays."""
+    if isinstance(A, SMat) and isinstance(B, SMat):
+        n, k = A.shape
+        k2, m = B.shape
+        rows = []
+        for i in range(n):
+            row = []
+            for j in range(m):
+                acc = None
+                for l in range(k):
+                    t = A.rows[i][l] * B.rows[l][j]
+                    acc = t if acc is None else acc + t
+                row.append(acc)
+            rows.append(row)
+        return SMat(rows)
+    return A @ B
+
+
+def det(A):
+    """Closed-form 1x1/2x2/3x3 determinant (SMat or jnp array)."""
+    if isinstance(A, SMat):
+        r = A.rows
+        n = len(r)
+        if n == 1:
+            return r[0][0]
+        if n == 2:
+            return r[0][0] * r[1][1] - r[0][1] * r[1][0]
+        if n == 3:
+            return (
+                r[0][0] * (r[1][1] * r[2][2] - r[1][2] * r[2][1])
+                - r[0][1] * (r[1][0] * r[2][2] - r[1][2] * r[2][0])
+                + r[0][2] * (r[1][0] * r[2][1] - r[1][1] * r[2][0])
+            )
+        raise NotImplementedError(f"det of {n}x{n} SMat")
+    from tpufem.elements.geometry import det as _det
+
+    return _det(A)
+
+
+def add_identity(A):
+    """A + I without materializing an eye() (works for both kinds)."""
+    if isinstance(A, SMat):
+        rows = [list(r) for r in A.rows]
+        for i in range(len(rows)):
+            rows[i][i] = rows[i][i] + 1.0
+        return SMat(rows)
+    import jax.numpy as jnp
+
+    n = A.shape[0]
+    return A + jnp.eye(n, dtype=A.dtype)
