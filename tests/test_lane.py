@@ -617,3 +617,35 @@ def test_lane_neohookean_fallback_parity():
         asm.tangent_action(jnp.asarray(u_flat), {}, jnp.asarray(v_flat))
     )
     assert np.abs(tv - tv_ref).max() < 1e-11 * np.abs(tv_ref).max()
+
+
+def test_lane_neohookean_fused():
+    """Neo-Hookean through the FUSED gather+physics+scatter kernel
+    (interpret mode): the smat-polymorphic potential must trace into
+    the Mosaic-destined block physics too."""
+    from tpufem.forms.potentials import neo_hookean_psi
+
+    mesh = unit_square(6)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    t = Term(lambda qp: neo_hookean_psi(qp.grad_u, E, NU), 1)
+    F = EnergyFunctional(V, [t])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    asm = Assembler(F, bcs)
+    eng = LaneEngine(F, bcs, wg_own=8, interpret=True, fused=True)
+    assert eng._fused and eng.fused_geom is not None
+    cc = eng.prepare_coeffs({})
+    rng = np.random.default_rng(8)
+    u_flat = rng.normal(size=V.n_dofs) * 1e-2
+    v_flat = rng.normal(size=V.n_dofs)
+    u_lane = jnp.asarray(eng.to_lane(u_flat))
+    r = eng.from_lane(eng.residual(u_lane, cc))
+    r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), {}))
+    assert np.abs(r - r_ref).max() < 1e-11 * np.abs(r_ref).max()
+    tv = eng.from_lane(
+        eng.tangent_action(u_lane, cc, jnp.asarray(eng.to_lane(v_flat)))
+    )
+    tv_ref = np.asarray(
+        asm.tangent_action(jnp.asarray(u_flat), {}, jnp.asarray(v_flat))
+    )
+    assert np.abs(tv - tv_ref).max() < 1e-11 * np.abs(tv_ref).max()
