@@ -97,6 +97,154 @@ class LanePlan:
     slot_y: np.ndarray = None
 
 
+def _spill_pass(cand: np.ndarray, cur: np.ndarray, n_keys: int,
+                target: int, *, max_rounds: int = 8,
+                max_depth: int = 12) -> np.ndarray:
+    """Force the balance's overloaded tail down to ``target``. Returns
+    the final bin KEY per cell (not a candidate index — see teleports).
+
+    The round/quota balance (native and NumPy) only moves cells into
+    candidate bins of MAXIMAL residency — right for the bulk (copies
+    stay shared), but it strands a tail of bins a few cells over
+    target (measured: 1711 of 16512 bins at 33-40 on a 524k-cell
+    jittered polycrystal with target 32), and the worst bin alone sets
+    the padded kc for the whole grid — 26% dead cell slots in every
+    fused kernel launch. Direct moves can't fix it: ~75% of bins sit
+    exactly AT target, so an overloaded cell's candidates are full.
+
+    Stage 1 routes the excess along augmenting paths, vectorized as a
+    pressure cascade: per round, a bin-level BFS labels every bin with
+    its distance phi to a bin with room (edges = "some cell homed in u
+    has v as a candidate"), then a single sweep from the deepest level
+    down pushes excess cells strictly downhill (phi[dest] ==
+    phi[src] - 1, preferring high residency then low load),
+    overfilling intermediate bins whose own excess is pushed onward
+    later in the same sweep — one unit of excess travels its whole
+    path per round.
+
+    Stage 2 (teleports) handles the locally-infeasible leftovers (a
+    few cells whose candidate-graph neighborhood is saturated): they
+    are homed in the nearest bin with room even though NONE of their
+    nodes live there — legal by construction (all nv nodes become
+    copy slots; rare distant copies ride the flat-gather tail path),
+    and it makes max load == target unconditional, since total
+    capacity n_keys*target >= nc. Runs identically for the native and
+    NumPy balance paths (plan parity stays field-exact).
+
+    ``cur`` holds the current bin KEY per cell (copied and returned).
+    """
+    nc, nv = cand.shape
+    cur = np.asarray(cur).copy()
+    loads = np.bincount(cur, minlength=n_keys)
+    if loads.max() <= target:
+        return cur
+    # residency of each candidate (copy-cost tie-break, cheap: nv<=8)
+    resident = (cand[:, :, None] == cand[:, None, :]).sum(
+        axis=2, dtype=np.int8
+    )
+    big = np.int32(max_depth + 1)
+    for _ in range(max_rounds):
+        if loads.max() <= target:
+            break
+        # --- bin-level BFS: phi = hops to a bin with room ------------------
+        phi = np.where(loads < target, np.int32(0), big)
+        for _ in range(max_depth):
+            # phi[u] <- min over cells homed in u of (min phi[cand]+1)
+            cmin = phi[cand].min(axis=1).astype(np.int32) + 1
+            new = phi.copy()
+            np.minimum.at(new, cur, cmin)
+            if (new == phi).all():
+                break
+            phi = new
+        # --- drain the excess down the phi gradient ------------------------
+        # One sweep from the highest level to 1: excess moved into a
+        # level-(d-1) bin is pushed onward when that level is processed,
+        # so a unit of excess travels its whole path to a room bin in a
+        # single round (one hop per round converges ~5x slower).
+        dmax = int(phi[loads > target].max())
+        if dmax > max_depth:
+            dmax = int(
+                phi[(loads > target) & (phi <= max_depth)].max()
+            ) if ((loads > target) & (phi <= max_depth)).any() else 0
+        moved_any = False
+        for d in range(dmax, 0, -1):
+            src_over = (loads[cur] > target) & (phi[cur] == d)
+            movers = np.nonzero(src_over)[0]
+            if len(movers) == 0:
+                continue
+            pc = phi[cand[movers]]  # (m, nv)
+            down = pc == (d - 1)
+            hasd = down.any(axis=1)
+            movers, down = movers[hasd], down[hasd]
+            if len(movers) == 0:
+                continue
+            # best downhill candidate: max residency, then min load
+            key = np.where(
+                down,
+                resident[movers].astype(np.int64) * (nc + 1)
+                - loads[cand[movers]],
+                np.int64(np.iinfo(np.int64).min),
+            )
+            best = key.argmax(axis=1)
+            dest = cand[movers, best]
+            # per-source quota: only the excess may leave (stable order)
+            srcb = cur[movers]
+            order_m = np.argsort(srcb, kind="stable")
+            sb = srcb[order_m]
+            rank_src = np.arange(len(sb)) - np.searchsorted(sb, sb)
+            go = rank_src < (loads[sb] - target)
+            movers, dest = movers[order_m][go], dest[order_m][go]
+            # per-dest quota into ROOM bins (phi==0): cap by room so
+            # they never flip overloaded; intermediates may overfill
+            # (they drain at the next level iteration)
+            is_room = phi[dest] == 0
+            order_d = np.argsort(dest, kind="stable")
+            db = dest[order_d]
+            rank_d = np.arange(len(db)) - np.searchsorted(db, db)
+            cap = np.where(
+                is_room[order_d], (target - loads[db]).clip(min=0),
+                np.int64(nc),
+            )
+            keep = rank_d < cap
+            movers, dest = movers[order_d][keep], dest[order_d][keep]
+            if len(movers) == 0:
+                continue
+            np.subtract.at(loads, cur[movers], 1)
+            np.add.at(loads, dest, 1)
+            cur[movers] = dest
+            moved_any = True
+        if not moved_any:
+            break
+    # --- stage 2: teleport the stubborn leftovers --------------------------
+    over = np.nonzero(loads > target)[0]
+    if len(over):
+        room_bins = np.nonzero(loads < target)[0]
+        room = (target - loads[room_bins]).astype(np.int64)
+        order_c = np.argsort(cur, kind="stable")
+        cs = cur[order_c]
+        bstart = np.searchsorted(cs, np.arange(n_keys + 1))
+        for b in over:
+            members = order_c[bstart[b] : bstart[b + 1]]
+            # move the least-shared members (fewest nodes homed in b)
+            res_b = (cand[members] == b).sum(axis=1).astype(np.int64)
+            members = members[np.argsort(res_b, kind="stable")]
+            n_move = int(loads[b] - target)
+            # nearest room bins: same lane first, then bin distance
+            d_lane = np.abs((room_bins % N_LANES) - (b % N_LANES))
+            d_bin = np.abs((room_bins // N_LANES) - (b // N_LANES))
+            pref = np.argsort(d_bin * 4 + d_lane, kind="stable")
+            moved = 0
+            for p in pref:
+                while room[p] > 0 and moved < n_move:
+                    cur[members[moved]] = room_bins[p]
+                    room[p] -= 1
+                    moved += 1
+                if moved >= n_move:
+                    break
+            loads[b] -= moved
+    return cur
+
+
 def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
                     wg_own: int = 32, min_G: int = 0, min_kc: int = 0,
                     min_wg_copy: int = 0,
@@ -179,7 +327,7 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     # into candidate bins of maximal residency (number of the cell's
     # nodes homed there: fewer copy slots — load-only balancing
     # measured copies 0.57x -> 1.09x on a jittered polycrystal).
-    target = _round_up(max(-(-nc // n_keys), 1), 8)
+    target = target0 = _round_up(max(-(-nc // n_keys), 1), 8)
     from tpufem import native
 
     choice = native.lane_balance(cand, n_keys, target)
@@ -221,10 +369,22 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
                 continue
             choice[movers[keep]] = best[movers[keep]]
     _tick("home-bins/balance")
-    home = cells[rows_nc, choice]
-    cell_lane = lane_of[home]
-    cell_bin = bin_of[home]
-    cell_key = cell_bin * N_LANES + cell_lane
+    # spill/teleport works on bin KEYS (a teleported cell's home bin
+    # holds none of its nodes); target0, not the possibly-raised
+    # fallback target, so native and NumPy paths stay field-exact
+    cell_key = _spill_pass(
+        cand, cand[rows_nc, choice], n_keys, target0
+    )
+    _tick("home-bins/spill")
+    # NOTE a copy-tail eviction pass (squeezing the per-bin unique-
+    # copy max down to the padded mean so wg_copy drops 24 -> 16 on
+    # jittered meshes) was tried and REMOVED: with load<=target held
+    # invariant the copy tail refuses to converge (chains or spill
+    # reruns re-break a residual tail forever) — the ~14-copy mean
+    # sits too close to the 16 cap for the bin geometry. See git
+    # history (round 2) before re-attempting.
+    cell_lane = cell_key % N_LANES
+    cell_bin = cell_key // N_LANES
     cpos = native.rank_by_key(cell_key, n_keys)
     if cpos is None:
         csort = np.argsort(cell_key, kind="stable")

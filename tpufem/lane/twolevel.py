@@ -45,6 +45,10 @@ class TwoLevelData(NamedTuple):
     r_starts: jnp.ndarray  # (Gc,)
     r_idx: jnp.ndarray  # (Gc, VR, Kc, 128) into fine-row windows
     r_wts: jnp.ndarray
+    # teleported-copy slots excluded from the windowed prolong;
+    # refreshed from their owner slot instead (flat row*128+lane ids)
+    o_dst: jnp.ndarray  # (n_outlier,)
+    o_src: jnp.ndarray  # (n_outlier,)
     # fine smoother
     inv_d: jnp.ndarray  # (bs, R, 128)
     lmax: jnp.ndarray  # ()
@@ -124,22 +128,45 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
     tx = fx - ix
     ty = fy - iy
     lane_grid = np.broadcast_to(np.arange(N_LANES)[None, :], sx.shape)
+    # teleported cells (plan._spill_pass stage 2) may place a copy
+    # slot in a lane/bin far from the node's position; interpolating
+    # it in place would blow the per-lane column set SC and the row
+    # window WRp. Exclude such slots from the windowed plan — they are
+    # refreshed from their owner slot after the windowed prolong
+    # (o_dst/o_src below). Owned slots always lie inside their strip.
+    pcx = ix - ix_min[lane_grid]
+    ok = valid & (pcx >= 0) & (pcx + 1 < SC)
     # view row of parent (a, b): (iy+b)*SC + (ix+a - ix_min[lane])
     parents = []  # (view_row (R,128), weight (R,128)) x4
     for b in (0, 1):
         for a in (0, 1):
-            pc = ix + a - ix_min[lane_grid]
-            assert (pc[valid] >= 0).all() and (pc[valid] < SC).all()
+            pc = np.clip(ix + a - ix_min[lane_grid], 0, SC - 1)
             vrow = (iy + b) * SC + pc
             wab = (np.where(a == 1, tx, 1 - tx)
                    * np.where(b == 1, ty, 1 - ty))
-            parents.append((vrow, np.where(valid, wab, 0.0)))
+            parents.append((vrow, np.where(ok, wab, 0.0)))
 
-    # --- P plan (fine bins -> view windows) ------------------------------------
     G, wg = p.G, p.wg
     vrows = np.stack([pr[0] for pr in parents])  # (4, R, 128)
-    vr_bin = vrows.reshape(4, G, wg, N_LANES)
-    val_bin = np.broadcast_to(valid, vrows.shape[1:]).reshape(G, wg, N_LANES)
+    # y-direction outliers: copies whose parent rows fall far outside
+    # the OWNED rows of their bin would inflate WRp the same way
+    own_bin = np.asarray(p.owned_mask).reshape(G, wg, N_LANES)
+    vr_b = vrows.reshape(4, G, wg, N_LANES)
+    big_v = (ncy + 2) * SC + 10
+    o_lo = np.where(own_bin[None], vr_b, big_v).min(axis=(0, 2, 3))
+    o_hi = np.where(own_bin[None], vr_b, -1).max(axis=(0, 2, 3))
+    o_lo = np.where(o_lo >= big_v, 0, o_lo)  # (G,)
+    margin = 2 * SC
+    vmin = vrows.min(axis=0)
+    vmax = vrows.max(axis=0)
+    glo = np.repeat(o_lo, wg).reshape(G * wg)[:, None] - margin
+    ghi = np.repeat(o_hi, wg).reshape(G * wg)[:, None] + margin
+    ok &= (vmin >= glo) & (vmax <= ghi)
+    parents = [(v, np.where(ok, w, 0.0)) for (v, w) in parents]
+
+    # --- P plan (fine bins -> view windows) ------------------------------------
+    vr_bin = vr_b
+    val_bin = np.broadcast_to(ok, vrows.shape[1:]).reshape(G, wg, N_LANES)
     big = (ncy + 1) * SC + 10
     masked = np.where(val_bin[None], vr_bin, big)
     starts_p = masked.min(axis=(0, 2, 3))  # (G,)
@@ -209,6 +236,31 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
         frow_s - r_start[gc_of]
     ).astype(np.int32)
     r_wts[gc_of, rank, v_s % Kc, lane_s] = w_s
+
+    # --- owner-refresh table for excluded (teleported-copy) slots -------------
+    out_mask = valid & ~ok
+    if out_mask.any():
+        dst_key = (
+            np.asarray(p.copy_dst_rows, np.int64) * N_LANES
+            + np.asarray(p.copy_dst_lanes, np.int64)
+        )
+        src_key = (
+            np.asarray(p.copy_src_rows, np.int64) * N_LANES
+            + np.asarray(p.copy_src_lanes, np.int64)
+        )
+        o_flat = np.nonzero(out_mask.ravel())[0]
+        sorter = np.argsort(dst_key, kind="stable")
+        pos = np.searchsorted(dst_key[sorter], o_flat)
+        idx = sorter[np.clip(pos, 0, len(sorter) - 1)]
+        if not (dst_key[idx] == o_flat).all():
+            raise AssertionError(
+                "excluded two-level slot is not a copy slot"
+            )
+        o_dst = o_flat.astype(np.int32)
+        o_src = src_key[idx].astype(np.int32)
+    else:
+        o_dst = np.zeros(0, np.int32)
+        o_src = np.zeros(0, np.int32)
 
     # --- coarse lattice operator ------------------------------------------------
     f = eng.functional
@@ -290,6 +342,8 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
         r_starts=jnp.asarray(starts_gc),
         r_idx=jnp.asarray(r_idx),
         r_wts=jnp.asarray(r_wts),
+        o_dst=jnp.asarray(o_dst),
+        o_src=jnp.asarray(o_src),
         mg_data=mg_data,
         coarse_free=coarse_free,
     )
@@ -384,7 +438,14 @@ def prolong(eng, static, data, c):
         wr=static.WRp, interpret=eng.interpret,
     )  # (G, bs, wg, 128)
     p = eng.plan
-    return jnp.transpose(out, (1, 0, 2, 3)).reshape(eng.bs, p.R, N_LANES)
+    res = jnp.transpose(out, (1, 0, 2, 3)).reshape(eng.bs, p.R, N_LANES)
+    if data.o_dst.size:
+        # teleported-copy slots sit outside their lane's window; give
+        # them their owner's freshly prolonged value instead
+        flat = res.reshape(eng.bs, -1)
+        flat = flat.at[:, data.o_dst].set(flat[:, data.o_src])
+        res = flat.reshape(eng.bs, p.R, N_LANES)
+    return res
 
 
 def precondition(eng, static, data, u_cells, coeff_cells, free, r):
