@@ -147,12 +147,18 @@ def _spill_pass(cand: np.ndarray, cur: np.ndarray, n_keys: int,
         if loads.max() <= target:
             break
         # --- bin-level BFS: phi = hops to a bin with room ------------------
+        # relax on the deduplicated bin graph (u -> v when some cell
+        # homed in u has v as a candidate): identical phi to per-cell
+        # relaxation, ~10x cheaper at millions of cells
+        upair = np.unique(
+            cur[:, None] * np.int64(n_keys) + cand
+        )
+        eu = (upair // n_keys).astype(np.int64)
+        ev = (upair % n_keys).astype(np.int64)
         phi = np.where(loads < target, np.int32(0), big)
         for _ in range(max_depth):
-            # phi[u] <- min over cells homed in u of (min phi[cand]+1)
-            cmin = phi[cand].min(axis=1).astype(np.int32) + 1
             new = phi.copy()
-            np.minimum.at(new, cur, cmin)
+            np.minimum.at(new, eu, phi[ev] + np.int32(1))
             if (new == phi).all():
                 break
             phi = new
