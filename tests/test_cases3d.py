@@ -2,6 +2,7 @@
 and Neo-Hookean hyperelasticity (AD consistent tangents)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,7 @@ def test_elasticity3d_hex_matrix_free():
     assert uu[:, 0].min() > -1e-3 and uu[:, 0].max() <= cfg.imposed + 1e-12
 
 
+@pytest.mark.slow
 def test_elasticity3d_hex_vs_tet():
     """Same problem on hex and tet meshes must agree at the O(h²)
     discretization level."""

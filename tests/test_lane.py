@@ -168,6 +168,7 @@ def test_generic_path_matches_fast_path():
 @pytest.mark.parametrize(
     "kind", ["p2_tri", "q1_quad", "q2_quad", "p1_tet", "p1_tet_d2", "q1_hex"]
 )
+@pytest.mark.slow
 def test_lane_element_coverage(kind):
     """Lane engine beyond P1 simplex: residual + tangent parity with the
     flat Assembler for P2/Q1/Q2/3D cells (the scalarized generic
@@ -426,6 +427,7 @@ def test_jittered_mesh_with_tail_matches_assembler():
     "kind", ["p2_tri", "q1_quad", "q2_quad", "p1_tri_d2", "p2_tet",
              "q1_hex"]
 )
+@pytest.mark.slow
 def test_lane_multiqp_fast_path(kind):
     """Multi-qp specialized path (engine._try_specialize_multiqp):
     P2/Q1/Q2 single-term functionals run with host-precomputed per-qp

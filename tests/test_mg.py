@@ -3,6 +3,7 @@ transfer-operator exactness, Galerkin consistency, scale invariance (the
 E=1e6 coarse-mask regression), contraction, and solver integration."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,7 @@ def test_coarse_operator_is_galerkin():
     assert np.abs(G - Ac).max() < 1e-10 * np.abs(Ac).max()
 
 
+@pytest.mark.slow
 def test_vcycle_contracts_and_is_scale_invariant():
     """V(3,3) stationary iteration contracts (<0.55/cycle) and the factor
     is independent of E — regression for the unmasked-coarse-bc bug where
@@ -113,6 +115,7 @@ def test_vcycle_contracts_and_is_scale_invariant():
     assert abs(facs[1.0] - facs[1.0e6]) < 0.02
 
 
+@pytest.mark.slow
 def test_grid_solver_mg_matches_jacobi():
     """make_grid_solver(preconditioner='mg') reproduces the Jacobi-CG
     solution at a fraction of the iterations."""
@@ -140,6 +143,7 @@ def test_grid_solver_mg_matches_jacobi():
     assert float(jnp.max(jnp.abs(res_m.u - res_j.u))) < 1e-12
 
 
+@pytest.mark.slow
 def test_mixed_precision_reaches_f64_accuracy():
     """VERDICT round-2 item 5 (the 1e-10 gate): f64 Newton residuals +
     f32 MG-CG inner solves converge to the all-f64 solution — Newton is
@@ -178,6 +182,7 @@ def test_mixed_precision_reaches_f64_accuracy():
     assert du / un < 1e-10, du / un
 
 
+@pytest.mark.slow
 def test_mg3d_transfers_and_solver():
     """3D trilinear transfers are exact adjoints and Galerkin-consistent
     (nested Q1); preconditioner='mg' on a StructuredGrid3D cuts CG

@@ -80,6 +80,7 @@ def test_bc_driven_state():
     assert np.abs(interior).max() < 1e-3 * np.abs(r).max()
 
 
+@pytest.mark.slow
 def test_pallas3d_matvec_matches():
     """3D constant-stencil matvec (interpret mode) vs the AD tangent,
     including anisotropic cells and boundary masks."""

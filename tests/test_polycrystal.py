@@ -37,6 +37,7 @@ def test_gmsh_roundtrip_preserves_mesh(tmp_path):
     np.testing.assert_array_equal(m2.cell_tags, mesh.cell_tags)
 
 
+@pytest.mark.slow
 def test_polycrystal_e2e_small():
     res = polycrystal.run(
         20, n_grains=12, gmsh_roundtrip=True, interpret=True,
@@ -54,6 +55,7 @@ def test_polycrystal_e2e_small():
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_polycrystal_mixed_precision_matches_f64():
     """Mixed-precision defect correction (f64 flat outer Newton + f32
     lane inner CG) must land on the all-f64 root — the reference's f64
@@ -87,6 +89,7 @@ def test_polycrystal_mixed_precision_matches_f64():
     assert abs(mixed.energy - gold.energy) < 1e-10 * abs(gold.energy)
 
 
+@pytest.mark.slow
 def test_polycrystal_matches_structured_continuum():
     """With constant E and the same (unsmoothed) damage band, the
     unstructured polycrystal solve and the structured lattice solve

@@ -177,6 +177,7 @@ def test_sharded_grid_matches_single_device():
     assert np.abs(r2.u - np.asarray(r1.u)).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_grid3d_matches_unstructured():
     from tpufem.mesh import box
     from tpufem.forms import linear_elastic_psi
@@ -211,6 +212,7 @@ def test_grid3d_matches_unstructured():
     assert float(jnp.abs(dg - refd).max() / jnp.abs(refd).max()) < 1e-14
 
 
+@pytest.mark.slow
 def test_grid3d_solve():
     """3D elasticity pulled bar on the structured path; BC faces honored
     and solution matches the unstructured jitted solve."""

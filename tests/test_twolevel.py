@@ -54,6 +54,7 @@ def test_transfer_adjoint_and_pou(setup):
     assert np.abs(P1[0][ow] - 1).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_twolevel_cuts_cg_iterations(setup):
     eng, cc, st, data, V = setup
     free = eng.free_lane
