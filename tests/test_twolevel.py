@@ -38,6 +38,33 @@ def setup():
     return eng, cc, st, data, V
 
 
+def test_teleported_copies_covered(setup):
+    """The n=32/wg_own=8 polycrystal forces planner teleports (cells
+    homed in bins holding none of their nodes); pin that this fixture
+    really exercises them and that the two-level transfer builder's
+    owner-refresh path (o_dst/o_src) gives every excluded copy slot
+    its owner's prolonged value."""
+    from tpufem.lane.plan import N_LANES
+
+    eng, cc, st, data, V = setup
+    p = eng.plan
+    cells = np.asarray(V.mesh.cells)
+    node_key = p.node_row // p.wg * N_LANES + p.node_lane
+    cv = np.asarray(p.cell_valid)
+    m = np.asarray(p.cell_order)[cv]
+    slot = np.nonzero(cv)[0]
+    ck = slot // (p.kc * N_LANES) * N_LANES + slot % N_LANES
+    tele = (node_key[cells[m]] != ck[:, None]).all(axis=1)
+    assert tele.sum() > 0, "fixture no longer exercises teleports"
+    assert int(data.o_dst.size) > 0, "no excluded transfer slots"
+    rng = np.random.default_rng(3)
+    c = jnp.asarray(rng.normal(size=(2, st.ncy + 1, st.ncx + 1)))
+    Pc = np.asarray(tl.prolong(eng, st, data, c)).reshape(2, -1)
+    o_dst = np.asarray(data.o_dst)
+    o_src = np.asarray(data.o_src)
+    assert np.abs(Pc[:, o_dst] - Pc[:, o_src]).max() == 0.0
+
+
 def test_transfer_adjoint_and_pou(setup):
     eng, cc, st, data, V = setup
     rng = np.random.default_rng(0)
