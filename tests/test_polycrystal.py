@@ -37,16 +37,97 @@ def test_gmsh_roundtrip_preserves_mesh(tmp_path):
     np.testing.assert_array_equal(m2.cell_tags, mesh.cell_tags)
 
 
+def test_polycrystal_postprocess_fields():
+    """DG0 centroid strain/stress/energy-density (the reference's 8.1
+    phase, FEniCSx/...cc:909-942) on a manufactured linear displacement:
+    strain is exact, stress matches the undamaged plane-strain law, and
+    the slab-batched path matches the monolithic one (to XLA fusion
+    reassociation, ~1e-18)."""
+    import jax.numpy as jnp
+
+    from tpufem.assemble.assembler import Assembler
+    from tpufem.cases.mechanic2d import postprocess
+    from tpufem.forms import EnergyFunctional, asym_damage_psi
+    from tpufem.forms.form import Coefficient, Term
+    from tpufem.spaces import FunctionSpace
+
+    mesh = polycrystal.generate_polycrystal(8, n_grains=4)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    P0 = FunctionSpace.create(mesh, 0, bs=1)
+    E, NU = 2.0e6, 0.3
+    term = Term(
+        lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), qp.coeff("E"),
+                                   NU), 1,
+    )
+    F = EnergyFunctional(V, [term],
+                         [Coefficient("d", DS), Coefficient("E", P0)])
+    asm = Assembler(F, [])
+    a, b = 3e-3, 1e-3  # both-traction branch: alpha switches all on
+    u = np.zeros((V.n_dofs // 2, 2))
+    u[:, 0] = a * V.mesh.x[:, 0]
+    u[:, 1] = b * V.mesh.x[:, 1]
+    coeffs = {
+        "d": jnp.zeros(DS.n_dofs), "E": jnp.full(len(mesh.cells), E),
+    }
+    strain, stress, endens = postprocess(asm, jnp.asarray(u.ravel()),
+                                         coeffs)
+    np.testing.assert_allclose(
+        strain, np.tile([a, 0.0, b], (len(mesh.cells), 1)), atol=1e-12
+    )
+    lam = E * NU / ((1 + NU) * (1 - 2 * NU))
+    mu = E / (2 * (1 + NU))
+    tr = a + b
+    np.testing.assert_allclose(
+        stress,
+        np.tile([lam * tr + 2 * mu * a, 0.0, lam * tr + 2 * mu * b],
+                (len(mesh.cells), 1)),
+        rtol=1e-12, atol=1e-9,  # sig12: eigen-AD roundoff at ~1e-12*|sig|
+    )
+    np.testing.assert_allclose(
+        endens, stress[:, 0] * a + stress[:, 2] * b, rtol=1e-12
+    )
+    s2, g2, e2 = postprocess(asm, jnp.asarray(u.ravel()), coeffs,
+                             batch=16)
+    np.testing.assert_allclose(s2, strain, atol=1e-15)
+    np.testing.assert_allclose(g2, stress, atol=1e-9)
+    np.testing.assert_allclose(e2, endens, rtol=1e-12)
+
+
 @pytest.mark.slow
-def test_polycrystal_e2e_small():
+def test_polycrystal_e2e_small(tmp_path):
+    out = str(tmp_path / "poly.xdmf")
     res = polycrystal.run(
         20, n_grains=12, gmsh_roundtrip=True, interpret=True,
         solver=SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False,
                             preconditioner="jacobi"),
-        smooth_iters=4,
+        smooth_iters=4, output_path=out,
     )
     assert res.stats["converged"]
     assert res.energy > 0 and np.isfinite(res.energy)
+    # DG0 fields: present, finite, and consistent — the asym law is
+    # positively homogeneous of degree 2, so sum(sigma:eps * area) must
+    # equal 2 * total energy
+    v = res.mesh.x[res.mesh.cells]
+    area = 0.5 * np.abs(
+        (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+        - (v[:, 2, 0] - v[:, 0, 0]) * (v[:, 1, 1] - v[:, 0, 1])
+    )
+    assert res.strain.shape == (len(res.mesh.cells), 3)
+    assert np.isfinite(res.stress).all()
+    np.testing.assert_allclose(
+        float(res.energy_density @ area), 2.0 * res.energy, rtol=1e-6
+    )
+    # phase-8 outputs: XDMF + binary sidecars round-trip the mesh
+    from tpufem.io.xdmf import read_xdmf
+
+    m2, pdata, cdata = read_xdmf(out)
+    np.testing.assert_allclose(m2.x[:, :2], res.mesh.x, atol=1e-14)
+    np.testing.assert_array_equal(m2.cells, res.mesh.cells)
+    np.testing.assert_allclose(
+        pdata["u"].reshape(-1), res.u_flat, atol=1e-14
+    )
+    np.testing.assert_allclose(cdata["stress"], res.stress, atol=1e-14)
     # BC check on the recovered flat vector
     uu = res.u_flat.reshape(-1, 2)
     right = np.abs(res.mesh.x[:, 0] - 1) < 1e-9

@@ -170,10 +170,15 @@ def setup(cfg: Optional[Mechanic2DConfig] = None, mesh=None, timers=None):
     return asm, coeffs, V, mesh, aux
 
 
-def postprocess(asm: Assembler, u: jnp.ndarray, coeffs):
+def postprocess(asm: Assembler, u: jnp.ndarray, coeffs,
+                batch: Optional[int] = None):
     """Centroid strain/stress/energy per cell as reduced vectors
     [t11, t12, t22] — the reference's three DG0 expressions
-    (asym_ufl.py:86-97, interpolated at FEniCSx/...cc:909-941)."""
+    (asym_ufl.py:86-97, interpolated at FEniCSx/...cc:909-941).
+
+    ``batch``: evaluate in cell slabs of this size (lax.map) so the
+    kernel's temporaries stay bounded at multi-million-cell meshes
+    (same contract as Assembler.residual's ``batch``)."""
     func = asm.functional
     V = func.space
     x_cells = func.x_cells
@@ -202,9 +207,18 @@ def postprocess(asm: Assembler, u: jnp.ndarray, coeffs):
             energy,
         )
 
-    strain, stress, energy = jax.vmap(
+    kernel = jax.vmap(
         per_cell, in_axes=(-1, -1, -1, -1), out_axes=(-1, -1, -1)
-    )(u_cells, x_cells.astype(u.dtype), c_cells["d"], c_cells["E"])
+    )
+    args = (u_cells, x_cells.astype(u.dtype), c_cells["d"], c_cells["E"])
+    if batch and u_cells.shape[-1] > batch:
+        from tpufem.assemble.assembler import _map_cell_slabs
+
+        strain, stress, energy = _map_cell_slabs(
+            lambda a: kernel(*a), args, batch
+        )
+    else:
+        strain, stress, energy = kernel(*args)
     return np.asarray(strain).T, np.asarray(stress).T, np.asarray(energy)
 
 

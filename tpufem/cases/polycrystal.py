@@ -112,6 +112,9 @@ class PolycrystalResult:
     energy: float
     stats: dict
     timings: dict
+    strain: Optional[np.ndarray] = None  # (nc, 3) [e11,e12,e22] DG0
+    stress: Optional[np.ndarray] = None  # (nc, 3)
+    energy_density: Optional[np.ndarray] = None  # (nc,) sigma:eps
 
 
 def run(
@@ -127,6 +130,8 @@ def run(
     interpret: bool = False,
     mesh: Optional[Mesh] = None,
     mixed: bool = False,
+    postprocess_fields: bool = True,
+    output_path: Optional[str] = None,
 ) -> PolycrystalResult:
     """End-to-end: generate (or take) the polycrystal, optional gmsh 2.2
     write+read round trip, per-grain E via the reference's glibc stream,
@@ -280,9 +285,52 @@ def run(
         )
         valid = jnp.asarray(eng.plan.cell_valid)
         energy = float(jnp.sum(jnp.where(valid, e_cells, 0.0)))
-    timings["8.1 postprocess"] = time.perf_counter() - t0
+    timings["8 postprocess (energy)"] = time.perf_counter() - t0
+
+    # DG0 centroid strain/stress/energy-density — the reference's
+    # "8.1 strain/stress computation" phase (FEniCSx/...cc:909-942)
+    # on the polycrystal workload, via the flat expression kernel
+    # (slab-batched: bounded temps at multi-million-cell meshes)
+    t0 = time.perf_counter()
+    strain = stress = endens = None
+    if postprocess_fields:
+        from tpufem.assemble.assembler import Assembler
+        from tpufem.cases.mechanic2d import postprocess as _dg0
+
+        if not mixed:
+            asm = Assembler(F, bcs)
+        u_pp = jnp.asarray(u_flat)
+        strain, stress, endens = _dg0(
+            asm, u_pp,
+            {"d": jnp.asarray(d, u_pp.dtype),
+             "E": jnp.asarray(E_cell, u_pp.dtype)},
+            batch=65536,
+        )
+    timings["8.1 strain/stress computation"] = time.perf_counter() - t0
+
+    # parallel-output analog of the reference's phase 8 (XDMF/VTX,
+    # FEniCSx/...cc:946-1032): XDMF + binary sidecars (scale-safe)
+    if output_path is not None:
+        from tpufem.io.xdmf import write_xdmf
+
+        t0 = time.perf_counter()
+        point_data = {
+            "u": u_flat.reshape(-1, 2), "damage": np.asarray(d),
+        }
+        cell_data = {
+            "E": np.asarray(E_cell),
+            "grain": np.asarray(mesh.cell_tags, np.float64),
+        }
+        if postprocess_fields:
+            cell_data.update(
+                strain=strain, stress=stress, energy_density=endens,
+            )
+        write_xdmf(output_path, mesh, point_data=point_data,
+                   cell_data=cell_data)
+        timings["8 outputs"] = time.perf_counter() - t0
 
     return PolycrystalResult(
         mesh=mesh, n_dofs=V.n_dofs, u_flat=u_flat, energy=energy,
         stats=stats, timings=timings,
+        strain=strain, stress=stress, energy_density=endens,
     )
