@@ -186,6 +186,7 @@ class ShardedLaneEngine:
         else:
             bc_mask = np.zeros(space.n_dofs, dtype=bool)
             bc_full = np.zeros(space.n_dofs)
+        self._bc_mask = bc_mask
 
         self.coeff_restrict: Dict[str, list] = {
             c.name: [] for c in functional.coefficients
@@ -493,6 +494,10 @@ class ShardedLaneEngine:
                 out_specs=P(AXIS), check_vma=False,
             )
         )
+        # per-shard halo/reduction helpers, reused by the two-level
+        # preconditioner programs built lazily in make_solver
+        self._cross_sum = cross_sum
+        self._pdot = pdot
 
     # -- public device ops --------------------------------------------------------------
 
@@ -520,16 +525,172 @@ class ShardedLaneEngine:
 
     # -- solver ---------------------------------------------------------------------------
 
+    def _build_twolevel_programs(self, static):
+        """Shard_map programs for the distributed two-level PC (built
+        once per make_solver; closes over the forced-common static).
+        Sharded args ride P(AXIS); the replicated coarse hierarchy
+        (mg_data, coarse_free) rides P() — every device runs the same
+        coarse V-cycle on the psum-reduced global coarse residual."""
+        from tpufem.lane import twolevel as tlmod
+
+        mesh = self.device_mesh
+        cross_sum, pdot = self._cross_sum, self._pdot
+
+        def halo_A(eng, u, coeffs, send, recvp, free):
+            Araw = eng.make_tangent(u, coeffs)
+
+            def A(v):
+                av = cross_sum(eng, Araw(v * free), send, recvp)
+                return av * free + v * (1.0 - free)
+
+            return A
+
+        def mk_data(tlg, repl, dinv, lmax):
+            mg_data, coarse_free = repl
+            return tlmod.TwoLevelData(
+                inv_d=dinv, lmax=lmax, mg_data=mg_data,
+                coarse_free=coarse_free, **tlg,
+            )
+
+        def power_body(leaves, u, coeffs, send, recvp, free, dinv):
+            (leaves, u, coeffs, send, recvp, free, dinv) = _index0(
+                (leaves, u, coeffs, send, recvp, free, dinv)
+            )
+            eng = self._local_engine(leaves)
+            A = halo_A(eng, u, coeffs, send, recvp, free)
+            sz = dinv.size
+            v0 = jnp.where(
+                jnp.arange(sz) % 2 == 0, 1.0, -1.0
+            ).reshape(dinv.shape).astype(dinv.dtype) * free
+            v0 = v0 / jnp.sqrt(pdot(eng, v0, v0))
+
+            def body(_, v):
+                w = dinv * A(v)
+                return w / jnp.sqrt(pdot(eng, w, w))
+
+            v = jax.lax.fori_loop(0, 12, body, v0)
+            w = dinv * A(v)
+            lmax = pdot(eng, v, w) / pdot(eng, v, v)
+            return lmax[None]
+
+        power = jax.jit(
+            shard_map(
+                power_body, mesh=mesh, in_specs=(P(AXIS),) * 7,
+                out_specs=P(AXIS), check_vma=False,
+            )
+        )
+
+        def M_of(eng, u, coeffs, send, recvp, free, dinv, tlg, lmax,
+                 repl):
+            A = halo_A(eng, u, coeffs, send, recvp, free)
+            data = mk_data(tlg, repl, dinv, lmax)
+
+            def M(r):
+                return tlmod.precondition_with(
+                    eng, static, data, free, r, A,
+                    coarse_reduce=lambda rc: jax.lax.psum(rc, AXIS),
+                )
+
+            return A, M
+
+        def precond_body(leaves, u, coeffs, send, recvp, free, dinv,
+                         tlg, lmax, repl, b):
+            (leaves, u, coeffs, send, recvp, free, dinv, tlg, lmax,
+             b) = _index0(
+                (leaves, u, coeffs, send, recvp, free, dinv, tlg, lmax,
+                 b)
+            )
+            eng = self._local_engine(leaves)
+            _, M = M_of(eng, u, coeffs, send, recvp, free, dinv, tlg,
+                        lmax, repl)
+            return M(b)[None]
+
+        specs11 = (P(AXIS),) * 9 + (P(),) + (P(AXIS),)
+        precond_once = jax.jit(
+            shard_map(
+                precond_body, mesh=mesh, in_specs=specs11,
+                out_specs=P(AXIS), check_vma=False,
+            )
+        )
+
+        def cg_tl_body(nsteps, leaves, u, coeffs, send, recvp, free,
+                       dinv, tlg, lmax, repl, state):
+            (leaves, u, coeffs, send, recvp, free, dinv, tlg,
+             lmax) = _index0(
+                (leaves, u, coeffs, send, recvp, free, dinv, tlg, lmax)
+            )
+            state = _index0(state)
+            eng = self._local_engine(leaves)
+            A, M = M_of(eng, u, coeffs, send, recvp, free, dinv, tlg,
+                        lmax, repl)
+
+            def body(_, st):
+                x, r, z, pv, rz = st
+                Ap = A(pv)
+                alpha = rz / pdot(eng, pv, Ap)
+                x = x + alpha * pv
+                r = r - alpha * Ap
+                z = M(r)
+                rz_new = pdot(eng, r, z)
+                pv = z + (rz_new / rz) * pv
+                return (x, r, z, pv, rz_new)
+
+            st = jax.lax.fori_loop(0, nsteps, body, state)
+            rn = jnp.sqrt(pdot(eng, st[1], st[1]))
+            return jax.tree.map(lambda x: x[None], st), rn[None]
+
+        def make_cg_tl(nsteps):
+            # same arity as precond_body: the trailing P(AXIS) is the
+            # CG state pytree instead of b
+            return jax.jit(
+                shard_map(
+                    functools.partial(cg_tl_body, nsteps),
+                    mesh=mesh, in_specs=specs11,
+                    out_specs=(P(AXIS), P(AXIS)), check_vma=False,
+                )
+            )
+
+        return power, precond_once, make_cg_tl
+
     def make_solver(self, cfg: Optional[SolverConfig] = None, *,
-                    cg_chunk: int = 100):
-        """Chunked Newton-Krylov (Jacobi PC) over the device mesh —
-        the distributed analogue of LaneEngine.make_solver."""
+                    cg_chunk: int = 100, fine_coeffs=None,
+                    twolevel_nc=None):
+        """Chunked Newton-Krylov over the device mesh — the distributed
+        analogue of LaneEngine.make_solver.
+
+        ``cfg.preconditioner``: 'jacobi' (default) or 'twolevel' — the
+        GLOBAL lattice-coarse two-level cycle (lane.twolevel sharded:
+        per-shard windowed transfers, psum-reduced replicated coarse
+        lattice-MG solve, Chebyshev smoothing on the halo'd tangent) —
+        the distributed BoomerAMG analog of BASELINE config 5.
+        'twolevel' needs ``fine_coeffs`` (GLOBAL flat coefficient
+        vectors, for lattice sampling)."""
         cfg = cfg or SolverConfig()
+        use_tl = cfg.preconditioner == "twolevel"
+        if use_tl and fine_coeffs is None:
+            raise ValueError("twolevel needs fine_coeffs")
+        _tl = {}
+
+        def _tl_setup(dtype):
+            from tpufem.lane import twolevel as tlmod
+
+            static, tl_geo, repl = tlmod.build_twolevel_geo_sharded(
+                self, {k: np.asarray(v) for k, v in fine_coeffs.items()},
+                nc=twolevel_nc,
+                coarse_dtype=(dtype if dtype != jnp.float64 else None),
+            )
+            tl_geo = jax.device_put(tl_geo, self._sharding)
+            _tl["static"], _tl["geo"], _tl["repl"] = static, tl_geo, repl
+            (_tl["power"], _tl["precond_once"],
+             _tl["make_cg"]) = self._build_twolevel_programs(static)
+            _tl["cg_cache"] = {}
 
         def solve(u0_lane, coeff_cells):
             free = self._free(u0_lane.dtype)
             bc = self.leaves["bc_lane"].astype(u0_lane.dtype)
             u = jnp.where(free > 0, u0_lane, bc)
+            if use_tl and "geo" not in _tl:
+                _tl_setup(u0_lane.dtype)
             r0 = None
             total_cg = 0
             it = 0
@@ -545,7 +706,18 @@ class ShardedLaneEngine:
                     self.leaves, u, coeff_cells, self._send_idx,
                     self._recv_place, free,
                 )
-                z0 = dinv * b
+                if use_tl:
+                    lmax = _tl["power"](
+                        self.leaves, u, coeff_cells, self._send_idx,
+                        self._recv_place, free, dinv,
+                    )
+                    tl_args = (dinv, _tl["geo"], lmax, _tl["repl"])
+                    z0 = _tl["precond_once"](
+                        self.leaves, u, coeff_cells, self._send_idx,
+                        self._recv_place, free, *tl_args, b,
+                    )
+                else:
+                    z0 = dinv * b
                 state = (jnp.zeros_like(b), b, z0, z0,
                          self.dot(b, z0) * jnp.ones(self.n_shards))
                 # rz replicated as (S,) so it shards cleanly
@@ -557,13 +729,22 @@ class ShardedLaneEngine:
                 best_rr = float("inf")
                 while k < cfg.cg_maxit:
                     nsteps = min(cg_chunk, cfg.cg_maxit - k)
-                    if nsteps not in self._cg_cache:
-                        self._cg_cache[nsteps] = self._make_cg(nsteps)
-                    state, rr = self._cg_cache[nsteps](
-                        self.leaves, u, coeff_cells, self._send_idx,
-                        self._recv_place, free, dinv,
-                        jax.tree.map(lambda x: x, state),
-                    )
+                    if use_tl:
+                        if nsteps not in _tl["cg_cache"]:
+                            _tl["cg_cache"][nsteps] = _tl["make_cg"](nsteps)
+                        state, rr = _tl["cg_cache"][nsteps](
+                            self.leaves, u, coeff_cells, self._send_idx,
+                            self._recv_place, free, *tl_args,
+                            jax.tree.map(lambda x: x, state),
+                        )
+                    else:
+                        if nsteps not in self._cg_cache:
+                            self._cg_cache[nsteps] = self._make_cg(nsteps)
+                        state, rr = self._cg_cache[nsteps](
+                            self.leaves, u, coeff_cells, self._send_idx,
+                            self._recv_place, free, dinv,
+                            jax.tree.map(lambda x: x, state),
+                        )
                     k += nsteps
                     rr = float(rr[0])
                     if rr < tol:

@@ -69,8 +69,89 @@ class TwoLevelStatic(NamedTuple):
     degree: int
 
 
+def _build_coarse(functional, mesh, bs, free_flat, fine_coeffs, *,
+                  x0, y0, hx, hy, ncx, ncy, mg_coarse_dofs=1500,
+                  coarse_dtype=None):
+    """Coarse lattice rediscretization of ``functional`` + lattice-MG
+    hierarchy: coefficient fields nearest-neighbor-sampled from
+    ``fine_coeffs`` onto the (ncx, ncy) lattice over [x0,..]x[y0,..],
+    operator linearized at u_c = 0, free mask from the nearest fine
+    node's ``free_flat``. Returns (mg_grids, mg_data, coarse_free)."""
+    from scipy.spatial import cKDTree
+
+    from tpufem.forms.form import QP
+    from tpufem.structured import mg2d
+    from tpufem.structured.grid2d import StructuredGrid2D
+
+    term = functional.terms[0]
+
+    def density(grad_u, cvals):
+        qp = QP(grad_u, None, None, cvals, {})
+        return term.integrand(qp)
+
+    field_kinds = {}
+    coarse_fields = {}
+    gx = x0 + np.arange(ncx + 1) * hx
+    gy = y0 + np.arange(ncy + 1) * hy
+    GX, GY = np.meshgrid(gx, gy, indexing="xy")
+    lat_pts = np.stack([GX.ravel(), GY.ravel()], axis=1)
+    node_tree = cKDTree(mesh.x[:, :2])
+    cell_tree = None
+    for c in functional.coefficients:
+        vals = np.asarray(fine_coeffs[c.name])
+        if c.space.element.degree == 0:
+            if cell_tree is None:
+                from tpufem.utils.hostops import cell_centroids
+                cent = cell_centroids(mesh.x, mesh.cells)[:, :2]
+                cell_tree = cKDTree(cent)
+            # centroids of the two lattice triangles per cell
+            cyx = np.stack(
+                [GX[:-1, :-1].ravel(), GY[:-1, :-1].ravel()], axis=1
+            )
+            lo_c = cyx + np.array([2 * hx / 3, hy / 3])
+            up_c = cyx + np.array([hx / 3, 2 * hy / 3])
+            _, ilo = cell_tree.query(lo_c)
+            _, iup = cell_tree.query(up_c)
+            arr = np.stack(
+                [vals[ilo].reshape(ncy, ncx), vals[iup].reshape(ncy, ncx)]
+            )
+            field_kinds[c.name] = "cell"
+            coarse_fields[c.name] = jnp.asarray(arr)
+        else:
+            _, inear = node_tree.query(lat_pts)
+            field_kinds[c.name] = "vertex"
+            coarse_fields[c.name] = jnp.asarray(
+                vals[inear].reshape(ncy + 1, ncx + 1)
+            )
+
+    grid = StructuredGrid2D(
+        nx=ncx, ny=ncy, hx=hx, hy=hy, bs=bs,
+        energy_density=density, field_kinds=field_kinds,
+    )
+    # coarse free mask: a lattice node is constrained when its nearest
+    # fine node is (per component)
+    _, inear = node_tree.query(lat_pts)
+    cf = np.asarray(free_flat).reshape(-1, bs)[inear].T.reshape(
+        bs, ncy + 1, ncx + 1
+    )
+    coarse_free = jnp.asarray((cf > 0.5).astype(np.float64))
+
+    if coarse_dtype is not None:
+        coarse_fields = {
+            k: v.astype(coarse_dtype) for k, v in coarse_fields.items()
+        }
+        coarse_free = coarse_free.astype(coarse_dtype)
+    u_c = jnp.zeros((bs, ncy + 1, ncx + 1), dtype=coarse_free.dtype)
+    mg_grids, mg_data = mg2d.build_mg2d(
+        grid, u_c, coarse_fields, coarse_free,
+        coarse_dofs=mg_coarse_dofs,
+    )
+    return mg_grids, mg_data, coarse_free
+
+
 def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
-                       mg_coarse_dofs=1500, coarse_dtype=None):
+                       mg_coarse_dofs=1500, coarse_dtype=None,
+                       lattice=None, coarse=None, owned=None, force=None):
     """Host-side setup of everything state-INDEPENDENT: transfer tables,
     one-hot selectors, coarse lattice fields/operator (linearized at
     u_c = 0 with the frozen coefficient fields) and the lattice-MG
@@ -85,24 +166,35 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
     ``coarse_dtype``: force the lattice-MG hierarchy to this dtype
     (mixed-precision solves pass f32 so the coarse V-cycle never rides
     TPU's emulated f64; preconditioner quality is unaffected).
-    """
-    from scipy.spatial import cKDTree
 
-    from tpufem.forms.form import QP
-    from tpufem.structured import mg2d
-    from tpufem.structured.grid2d import StructuredGrid2D
-
+    Sharded-build hooks (used by :func:`build_twolevel_geo_sharded`,
+    where each shard builds ITS transfer tables against one GLOBAL
+    lattice):
+    ``lattice``: dict(x0, y0, hx, hy, ncx, ncy) overriding the lattice
+    derived from this engine's (sub)mesh. ``coarse``: precomputed
+    (mg_grids, mg_data, coarse_free) to reuse instead of building the
+    coarse operator from this engine's mesh. ``owned``: (R, 128)
+    restriction ownership mask overriding the plan's intra-plan
+    owned_mask (pass the cross-device owner mask so each node is
+    restricted exactly once globally). ``force``: dict(SC, WRp, WRr, VR)
+    forcing the static table dims (so per-shard tables stack)."""
     p = eng.plan
     bs = eng.bs
     mesh = eng.space.mesh
     x = mesh.x
-    x0, y0 = x[:, 0].min(), x[:, 1].min()
-    x1, y1 = x[:, 0].max(), x[:, 1].max()
-    if nc is None:
-        nc = max(8, _round_up(int(np.sqrt(p.n_nodes)) // 2, 2))
-    ncx = ncy = int(nc)
-    hx = (x1 - x0) / ncx
-    hy = (y1 - y0) / ncy
+    if lattice is not None:
+        x0, y0 = lattice["x0"], lattice["y0"]
+        hx, hy = lattice["hx"], lattice["hy"]
+        ncx, ncy = lattice["ncx"], lattice["ncy"]
+    else:
+        x0, y0 = x[:, 0].min(), x[:, 1].min()
+        x1, y1 = x[:, 0].max(), x[:, 1].max()
+        if nc is None:
+            nc = max(8, _round_up(int(np.sqrt(p.n_nodes)) // 2, 2))
+        ncx = ncy = int(nc)
+        hx = (x1 - x0) / ncx
+        hy = (y1 - y0) / ncy
+    force = force or {}
 
     # --- per-lane coarse-column sets + one-hot selector ----------------------
     lo = p.strip_x[:, 0] - hx
@@ -110,6 +202,9 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
     ix_min = np.clip(np.floor((lo - x0) / hx).astype(np.int64), 0, ncx)
     ix_max = np.clip(np.ceil((hi - x0) / hx).astype(np.int64), 0, ncx)
     SC = int((ix_max - ix_min + 1).max())
+    if "SC" in force:
+        assert SC <= force["SC"], (SC, force)
+        SC = force["SC"]
     cols = np.minimum(ix_min[:, None] + np.arange(SC)[None, :], ncx)
     S = np.zeros((ncx + 1, SC * N_LANES), dtype=np.float64)
     for l in range(N_LANES):
@@ -174,6 +269,9 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
     masked_hi = np.where(val_bin[None], vr_bin, -1)
     span = masked_hi.max(axis=(0, 2, 3)) - starts_p + 1
     WRp = _round_up(max(int(span.max()), 8), 8)
+    if "WRp" in force:
+        assert WRp <= force["WRp"], (WRp, force)
+        WRp = force["WRp"]
     Rv_needed = (ncy + 1) * SC
     Kc = 16
     Gc = -(-Rv_needed // Kc)
@@ -190,8 +288,11 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
     )  # (G, 4, wg, 128)
 
     # --- R plan (coarse view bins -> fine-row windows) --------------------------
-    # owned fine slots only (each node counted once)
-    owned = p.owned_mask  # (R, 128)
+    # owned fine slots only (each node counted once; cross-device builds
+    # pass the global owner mask so shared nodes restrict exactly once)
+    if owned is None:
+        owned = p.owned_mask  # (R, 128)
+    owned = np.asarray(owned).astype(bool)
     fine_rows = np.broadcast_to(
         np.arange(p.R)[:, None], owned.shape
     )
@@ -218,6 +319,9 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
     first = np.searchsorted(key_s, key_s)
     rank = np.arange(len(key_s)) - first
     VR = _round_up(max(int(rank.max()) + 1 if len(rank) else 1, 1), 1)
+    if "VR" in force:
+        assert VR <= force["VR"], (VR, force)
+        VR = force["VR"]
     v_s, lane_s, frow_s, w_s = (
         tr_v[order], tr_lane[order], tr_frow[order], tr_w[order]
     )
@@ -229,6 +333,9 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
     np.maximum.at(r_end, gc_of, frow_s)
     r_start = np.where(r_start >= p.R, 0, r_start)
     WRr = _round_up(max(int((r_end - r_start + 1).max()), 8), 8)
+    if "WRr" in force:
+        assert WRr <= force["WRr"], (WRr, force)
+        WRr = force["WRr"]
     r_start = np.minimum(r_start, max(p.R - WRr, 0)).astype(np.int32)
     r_idx = np.full((Gc, VR, Kc, N_LANES), -1, dtype=np.int32)
     r_wts = np.zeros((Gc, VR, Kc, N_LANES))
@@ -263,71 +370,14 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
         o_src = np.zeros(0, np.int32)
 
     # --- coarse lattice operator ------------------------------------------------
-    f = eng.functional
-    term = f.terms[0]
-
-    def density(grad_u, cvals):
-        qp = QP(grad_u, None, None, cvals, {})
-        return term.integrand(qp)
-
-    field_kinds = {}
-    coarse_fields = {}
-    gx = x0 + np.arange(ncx + 1) * hx
-    gy = y0 + np.arange(ncy + 1) * hy
-    GX, GY = np.meshgrid(gx, gy, indexing="xy")
-    lat_pts = np.stack([GX.ravel(), GY.ravel()], axis=1)
-    node_tree = cKDTree(mesh.x[:, :2])
-    cell_tree = None
-    for c in f.coefficients:
-        vals = np.asarray(fine_coeffs[c.name])
-        if c.space.element.degree == 0:
-            if cell_tree is None:
-                from tpufem.utils.hostops import cell_centroids
-                cent = cell_centroids(mesh.x, mesh.cells)[:, :2]
-                cell_tree = cKDTree(cent)
-            # centroids of the two lattice triangles per cell
-            cyx = np.stack(
-                [GX[:-1, :-1].ravel(), GY[:-1, :-1].ravel()], axis=1
-            )
-            lo_c = cyx + np.array([2 * hx / 3, hy / 3])
-            up_c = cyx + np.array([hx / 3, 2 * hy / 3])
-            _, ilo = cell_tree.query(lo_c)
-            _, iup = cell_tree.query(up_c)
-            arr = np.stack(
-                [vals[ilo].reshape(ncy, ncx), vals[iup].reshape(ncy, ncx)]
-            )
-            field_kinds[c.name] = "cell"
-            coarse_fields[c.name] = jnp.asarray(arr)
-        else:
-            _, inear = node_tree.query(lat_pts)
-            field_kinds[c.name] = "vertex"
-            coarse_fields[c.name] = jnp.asarray(
-                vals[inear].reshape(ncy + 1, ncx + 1)
-            )
-
-    grid = StructuredGrid2D(
-        nx=ncx, ny=ncy, hx=hx, hy=hy, bs=bs,
-        energy_density=density, field_kinds=field_kinds,
-    )
-    # coarse free mask: a lattice node is constrained when its nearest
-    # fine node is (per component)
-    fine_free_flat = eng.from_lane(np.asarray(eng.free_lane))
-    _, inear = node_tree.query(lat_pts)
-    cf = fine_free_flat.reshape(-1, bs)[inear].T.reshape(
-        bs, ncy + 1, ncx + 1
-    )
-    coarse_free = jnp.asarray((cf > 0.5).astype(np.float64))
-
-    if coarse_dtype is not None:
-        coarse_fields = {
-            k: v.astype(coarse_dtype) for k, v in coarse_fields.items()
-        }
-        coarse_free = coarse_free.astype(coarse_dtype)
-    u_c = jnp.zeros((bs, ncy + 1, ncx + 1), dtype=coarse_free.dtype)
-    mg_grids, mg_data = mg2d.build_mg2d(
-        grid, u_c, coarse_fields, coarse_free,
-        coarse_dofs=mg_coarse_dofs,
-    )
+    if coarse is None:
+        coarse = _build_coarse(
+            eng.functional, mesh, bs,
+            eng.from_lane(np.asarray(eng.free_lane)), fine_coeffs,
+            x0=x0, y0=y0, hx=hx, hy=hy, ncx=ncx, ncy=ncy,
+            mg_coarse_dofs=mg_coarse_dofs, coarse_dtype=coarse_dtype,
+        )
+    mg_grids, mg_data, coarse_free = coarse
 
     static = TwoLevelStatic(
         SC=SC, WRp=WRp, WRr=WRr, Kc=Kc, ncx=ncx, ncy=ncy, Rv=Rv,
@@ -394,6 +444,94 @@ def refresh_twolevel(eng, static, geo, u_lane, coeff_cells, *,
     return TwoLevelData(inv_d=inv_d, lmax=lmax, **geo)
 
 
+def build_twolevel_geo_sharded(sle, fine_coeffs, *, nc=None, degree=2,
+                               mg_coarse_dofs=1500, coarse_dtype=None):
+    """Cross-device two-level setup for a ShardedLaneEngine: one GLOBAL
+    coarse lattice (+ lattice-MG hierarchy, replicated on every device)
+    and per-shard transfer tables built with forced-common static dims
+    so they stack along the device axis. Each shard restricts only the
+    nodes it OWNS globally (sle's cross-device owner mask), so the
+    psum of per-shard restrictions is the exact global P^T r — the
+    distributed analog of the reference's owner/ghost assembly
+    convention (FEniCSx/...cc:426-435).
+
+    Returns ``(static, tl_geo, coarse_repl)``: ``tl_geo`` is the dict of
+    device-axis-stacked per-shard tables, ``coarse_repl`` the replicated
+    (mg_data, coarse_free) pair.
+    """
+    mesh = sle.space.mesh
+    bs = sle.bs
+    S = sle.n_shards
+    x = mesh.x
+    x0, y0 = x[:, 0].min(), x[:, 1].min()
+    x1, y1 = x[:, 0].max(), x[:, 1].max()
+    if nc is None:
+        nc = max(8, _round_up(int(np.sqrt(len(x))) // 2, 2))
+    ncx = ncy = int(nc)
+    lattice = dict(
+        x0=x0, y0=y0, hx=(x1 - x0) / ncx, hy=(y1 - y0) / ncy,
+        ncx=ncx, ncy=ncy,
+    )
+    free_flat = (~sle._bc_mask).astype(np.float64)
+    coarse = _build_coarse(
+        sle.functional, mesh, bs, free_flat, fine_coeffs, **lattice,
+        mg_coarse_dofs=mg_coarse_dofs, coarse_dtype=coarse_dtype,
+    )
+
+    owned_masks = []
+    for s in range(S):
+        p = sle.plans[s]
+        ow = np.zeros((p.R, N_LANES), dtype=bool)
+        ow[p.node_row, p.node_lane] = (
+            sle.node_owner[sle.nodes_g[s]] == s
+        )
+        owned_masks.append(ow)
+
+    def build(force):
+        out = []
+        for s in range(S):
+            out.append(build_twolevel_geo(
+                sle._engines[s], fine_coeffs, degree=degree,
+                lattice=lattice, coarse=coarse, owned=owned_masks[s],
+                force=force,
+            ))
+        return out
+
+    # pass 1: natural dims; pass 2 (only if shards disagree) forces the
+    # maxes so the tables stack
+    built = build(None)
+    dims = [
+        dict(SC=st.SC, WRp=st.WRp, WRr=st.WRr,
+             VR=int(np.asarray(geo["r_idx"]).shape[1]))
+        for st, geo in built
+    ]
+    mx = {k: max(d[k] for d in dims) for k in dims[0]}
+    if any(d != mx for d in dims):
+        built = build(mx)
+    static = built[0][0]
+    geos = [geo for _, geo in built]
+
+    # pad teleport-refresh tables to a common length with out-of-range
+    # sentinels (prolong drops them)
+    FL = sle.plans[0].R * N_LANES
+    omax = max(int(np.asarray(g["o_dst"]).size) for g in geos)
+    stack_keys = ("S", "p_starts", "p_idx", "p_wts",
+                  "r_starts", "r_idx", "r_wts", "o_dst", "o_src")
+    tl_geo = {}
+    for k in stack_keys:
+        vals = []
+        for g in geos:
+            v = np.asarray(g[k])
+            if k in ("o_dst", "o_src") and v.size < omax:
+                v = np.concatenate(
+                    [v, np.full(omax - v.size, FL, v.dtype)]
+                )
+            vals.append(v)
+        tl_geo[k] = jnp.stack([jnp.asarray(v) for v in vals])
+    mg_grids, mg_data, coarse_free = coarse
+    return static, tl_geo, (mg_data, coarse_free)
+
+
 def build_twolevel(eng, u_lane, coeff_cells, fine_coeffs, *, nc=None,
                    degree=2, power_iters=12, mg_coarse_dofs=1500):
     """One-shot setup (geo + smoother data); prefer build_twolevel_geo +
@@ -441,9 +579,13 @@ def prolong(eng, static, data, c):
     res = jnp.transpose(out, (1, 0, 2, 3)).reshape(eng.bs, p.R, N_LANES)
     if data.o_dst.size:
         # teleported-copy slots sit outside their lane's window; give
-        # them their owner's freshly prolonged value instead
+        # them their owner's freshly prolonged value instead. Sharded
+        # builds pad o_dst/o_src with out-of-range sentinels (flat size)
+        # so per-shard tables stack — mode="drop" makes those no-ops.
         flat = res.reshape(eng.bs, -1)
-        flat = flat.at[:, data.o_dst].set(flat[:, data.o_src])
+        src = jnp.take(flat, jnp.minimum(data.o_src, flat.shape[1] - 1),
+                       axis=1)
+        flat = flat.at[:, data.o_dst].set(src, mode="drop")
         res = flat.reshape(eng.bs, p.R, N_LANES)
     return res
 
@@ -451,11 +593,24 @@ def prolong(eng, static, data, c):
 def precondition(eng, static, data, u_cells, coeff_cells, free, r):
     """Symmetric two-level cycle: Chebyshev fine smoothing + lattice-MG
     coarse correction. SPD in the owned-weighted inner product."""
-    from tpufem.structured import mg2d
 
     def A(v):
         av = eng.tangent_from_cells(u_cells, coeff_cells, v * free)
         return av * free + v * (1.0 - free)
+
+    return precondition_with(eng, static, data, free, r, A)
+
+
+def precondition_with(eng, static, data, free, r, A, coarse_reduce=None):
+    """The two-level cycle against a caller-supplied tangent operator
+    ``A`` (the sharded engine passes its halo'd action).
+    ``coarse_reduce``: applied to the restricted residual before the
+    coarse V-cycle — the sharded path passes ``psum`` over the device
+    axis so every device solves the (replicated) GLOBAL coarse problem;
+    the prolongation of a replicated coarse vector is then cross-device
+    consistent by construction (same node coordinates -> same
+    interpolated value), so no halo follows it."""
+    from tpufem.structured import mg2d
 
     kw = dict(degree=static.degree, lmin_ratio=1.0 / 8.0)
     inv_d = data.inv_d.astype(r.dtype)
@@ -463,6 +618,8 @@ def precondition(eng, static, data, u_cells, coeff_cells, free, r):
     x = chebyshev_iterate(A, inv_d, lmax, r, jnp.zeros_like(r), **kw)
     res = (r - A(x)) * free * eng.owned_w.astype(r.dtype)
     rc = restrict(eng, static, data, res) * data.coarse_free.astype(r.dtype)
+    if coarse_reduce is not None:
+        rc = coarse_reduce(rc)
     cdt = data.mg_data.coarse_inv.dtype
     xc = mg2d.vcycle(static.mg_grids, data.mg_data, rc.astype(cdt))
     xc = xc.astype(r.dtype) * data.coarse_free.astype(r.dtype)
