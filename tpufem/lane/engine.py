@@ -158,9 +158,13 @@ class LaneEngine:
         self._elem_grad_block = self._elem_jvp_block = None
         # cap the per-grid-step cell block: big bins (3D: kc=192) make
         # the unrolled gather/physics/scatter graph spill vregs past
-        # VMEM; sub-blocks revisit the output window (see kernels.py)
-        self._fused_kb = 0 if p.kc <= 64 else max(
-            d for d in (64, 48, 32, 24, 16, 8) if p.kc % d == 0
+        # VMEM; sub-blocks revisit the output window (see kernels.py).
+        # Small blocks also bound the live temporaries of the tile-AD
+        # physics — kb=16 measured fastest on every mesh tried on the
+        # 2026-08 libtpu (2.1M tri: 1.45 -> 0.76 ms; polycrystal:
+        # 2.92 -> 2.57 ms), so prefer it whenever it divides kc.
+        self._fused_kb = 0 if p.kc <= 16 else next(
+            (d for d in (16, 8, 32, 24, 48, 64) if p.kc % d == 0), 0
         )
         if self._fused:
             M = p.G * p.kc * N_LANES
@@ -933,56 +937,66 @@ class LaneEngine:
             qp = QP(grad_u, u_q, xqc, cvals, {})
             return integrand(qp) * wc
 
-        g1 = jax.grad(energy_t, argnums=0)
+        Dg = ng + 1 + gd
+        return self._tile_ad_fns(energy_t, nd, Dg, a, bool(coeff_meta))
 
-        def v2(f, n_in):
-            ax = (-1,) * n_in
-            return jax.vmap(
-                jax.vmap(f, in_axes=ax, out_axes=-1),
-                in_axes=ax, out_axes=-1,
-            )
+    @staticmethod
+    def _tile_ad_fns(energy_t, nd, Dg, n_coeff_rows, has_coeffs):
+        """grad / Hessian-action closures for the fused kernel, traced
+        on full (K, 128) TILES: ``energy_t(u_t, gcol, ccol)`` is pure
+        elementwise scalar math (SMat/SVec containers), so applying it
+        directly to tile-shaped 'scalars' and pulling the gradient back
+        with a ones-cotangent vjp is exact — bit-identical to vmapping
+        the scalar grad (verified on-chip). The double-vmap-of-scalars
+        form this replaces made Mosaic materialize every vmapped scalar
+        as its own tiled temporary: 9.6 ms vs 0.87 ms for the same
+        2.1M-cell residual after the 2026-08 libtpu migration.
 
-        G2 = v2(g1, 3)
+        Integrands that do real ARRAY ops on the QP fields (reductions,
+        reshapes) either raise at the eval_shape trace below or change
+        the output shape — both reject the fused path and the engine
+        falls back to the staged pipeline."""
 
         def _ccol(cds):
-            return cds[1] if coeff_meta else jnp.zeros(
+            return cds[1] if has_coeffs else jnp.zeros(
                 (0,) + cds[0].shape[1:], cds[0].dtype
             )
+
+        def _grad_t(u_t, gcol, ccol):
+            out, pull = jax.vjp(
+                lambda ut: energy_t(ut, gcol, ccol), u_t
+            )
+            return pull(jnp.ones_like(out))[0]
 
         def elem_grad(u_blocks, cds):
             (u,) = u_blocks  # (nd, K, L)
             u_t = tuple(u[i] for i in range(nd))
-            ev = G2(u_t, cds[0], _ccol(cds))
-            return jnp.stack(ev, axis=0)
-
-        def hvp1(u_t, v_t, gcol, ccol):
-            return jax.jvp(
-                lambda w_: g1(w_, gcol, ccol), (u_t,), (v_t,)
-            )[1]
-
-        H2 = v2(hvp1, 4)
+            return jnp.stack(_grad_t(u_t, cds[0], _ccol(cds)), axis=0)
 
         def elem_jvp(u_blocks, cds):
             u, v = u_blocks
             u_t = tuple(u[i] for i in range(nd))
             v_t = tuple(v[i] for i in range(nd))
-            ev = H2(u_t, v_t, cds[0], _ccol(cds))
+            gcol, ccol = cds[0], _ccol(cds)
+            ev = jax.jvp(
+                lambda ut: _grad_t(ut, gcol, ccol), (u_t,), (v_t,)
+            )[1]
             return jnp.stack(ev, axis=0)
 
-        # trace-check now (tiny abstract shapes): integrands that do
-        # real array ops on the SMat/SVec fields raise here and the
-        # engine falls back to the unfused path
-        probe = jax.ShapeDtypeStruct((4, N_LANES), jnp.float32)
-        Dg = ng + 1 + gd
-        jax.eval_shape(
+        shp = jax.eval_shape(
             elem_grad,
             (jax.ShapeDtypeStruct((nd, 4, N_LANES), jnp.float32),),
             (jax.ShapeDtypeStruct((Dg, 4, N_LANES), jnp.float32),
-             jax.ShapeDtypeStruct((max(a, 0), 4, N_LANES), jnp.float32))
-            if coeff_meta else
+             jax.ShapeDtypeStruct(
+                 (max(n_coeff_rows, 0), 4, N_LANES), jnp.float32))
+            if has_coeffs else
             (jax.ShapeDtypeStruct((Dg, 4, N_LANES), jnp.float32),),
         )
-        del probe
+        if shp.shape != (nd, 4, N_LANES):
+            raise ValueError(
+                f"fused element grad shape {shp.shape} != "
+                f"{(nd, 4, N_LANES)}: integrand is not elementwise"
+            )
         return elem_grad, elem_jvp
 
     def _make_block_fns_mq(self):
@@ -1064,52 +1078,8 @@ class LaneEngine:
                 total = t if total is None else total + t
             return total
 
-        g1 = jax.grad(energy_t, argnums=0)
-
-        def v2(f, n_in):
-            ax = (-1,) * n_in
-            return jax.vmap(
-                jax.vmap(f, in_axes=ax, out_axes=-1),
-                in_axes=ax, out_axes=-1,
-            )
-
-        G2 = v2(g1, 3)
-
-        def _ccol(cds):
-            return cds[1] if coeff_meta else jnp.zeros(
-                (0,) + cds[0].shape[1:], cds[0].dtype
-            )
-
-        def elem_grad(u_blocks, cds):
-            (u,) = u_blocks  # (nd, K, L)
-            u_t = tuple(u[i] for i in range(nd))
-            ev = G2(u_t, cds[0], _ccol(cds))
-            return jnp.stack(ev, axis=0)
-
-        def hvp1(u_t, v_t, gcol, ccol):
-            return jax.jvp(
-                lambda w_: g1(w_, gcol, ccol), (u_t,), (v_t,)
-            )[1]
-
-        H2 = v2(hvp1, 4)
-
-        def elem_jvp(u_blocks, cds):
-            u, v = u_blocks
-            u_t = tuple(u[i] for i in range(nd))
-            v_t = tuple(v[i] for i in range(nd))
-            ev = H2(u_t, v_t, cds[0], _ccol(cds))
-            return jnp.stack(ev, axis=0)
-
         Dg = ngr + nq + nq * gd
-        jax.eval_shape(
-            elem_grad,
-            (jax.ShapeDtypeStruct((nd, 4, N_LANES), jnp.float32),),
-            (jax.ShapeDtypeStruct((Dg, 4, N_LANES), jnp.float32),
-             jax.ShapeDtypeStruct((max(a, 0), 4, N_LANES), jnp.float32))
-            if coeff_meta else
-            (jax.ShapeDtypeStruct((Dg, 4, N_LANES), jnp.float32),),
-        )
-        return elem_grad, elem_jvp
+        return self._tile_ad_fns(energy_t, nd, Dg, a, bool(coeff_meta))
 
     def _can_fuse(self, coeff_cells) -> bool:
         return self._fused and (
