@@ -188,6 +188,13 @@ def _bench_unstructured(n: int = 1024, *, jitter: bool = True):
     for fused in (False, True):
         if fused and not eng._fused:
             continue
+        # the engine pytree's aux_data is the object itself and jit
+        # caches by aux identity — mutating _fused in place would NOT
+        # retrace (the first path's compiled code would be reused);
+        # a fresh shallow copy forces a new cache entry
+        import copy
+
+        eng32 = copy.copy(eng32)
         object.__setattr__(eng32, "_fused", fused)
         x = chain(eng32, cc, u0, 2)
         float(np.asarray(x).ravel()[0])
