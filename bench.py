@@ -25,15 +25,87 @@ CPU core. vs_baseline = ours / 0.667.
 """
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
 REFERENCE_MDOF_S = 6.17e6 * 7 / (19.96 + 44.73) / 1e6  # ≈ 0.667 MDoF/s
 
+# The axon tunnel occasionally wedges (dispatches hang with 0% CPU,
+# e.g. while the remote worker recovers from a faulted execution).
+# Without a guard this script would block forever and the driver would
+# record NO bench line for the round. Two defenses:
+#   1. a bounded subprocess probe (with retries) before any in-process
+#      jax dispatch, so a dead tunnel is detected instead of hung on;
+#   2. a hard watchdog that emits an explicit error JSON line and
+#      force-exits if the whole bench exceeds TPUFEM_BENCH_TIMEOUT.
+_RESULT_PRINTED = threading.Event()
+
+
+def _emit(out):
+    _RESULT_PRINTED.set()
+    print(json.dumps(out), flush=True)
+
+
+def _fail(reason):
+    _emit({"metric": "assembly_mdof_s", "value": 0.0, "unit": "MDoF/s",
+           "vs_baseline": 0.0, "error": reason})
+
+
+def _watchdog(seconds):
+    def body():
+        if not _RESULT_PRINTED.wait(seconds):
+            _fail(f"bench watchdog expired after {seconds}s")
+            sys.stdout.flush()
+            os._exit(3)
+
+    t = threading.Thread(target=body, daemon=True)
+    t.start()
+
+
+def _tunnel_alive(probe_timeout=240, retries=4, sleep_s=90):
+    """Bounded liveness probe of the TPU tunnel in a subprocess.
+
+    A wedged tunnel hangs dispatches indefinitely; probing in a child
+    keeps this process clean and lets us retry while the remote worker
+    recovers. Returns True once one probe round-trips a real dispatch.
+    """
+    # the dispatch must round-trip on the accelerator, not a cpu
+    # fallback (jax_platforms='axon,cpu' falls back silently if the
+    # axon plugin fails fast) — require a non-cpu device platform
+    code = ("import jax, jax.numpy as jnp; "
+            "d = jax.devices()[0]; "
+            "assert d.platform != 'cpu', d.platform; "
+            "x = jnp.ones((8, 8)); print(float((x @ x)[0, 0]), d.platform)")
+    for attempt in range(retries):
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout,
+                               capture_output=True, text=True)
+            if r.returncode == 0:
+                print(f"tunnel probe ok ({time.perf_counter()-t0:.0f}s)",
+                      file=sys.stderr)
+                return True
+            print(f"tunnel probe rc={r.returncode}: {r.stderr[-200:]}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"tunnel probe timed out ({probe_timeout}s), "
+                  f"attempt {attempt + 1}/{retries}", file=sys.stderr)
+        if attempt < retries - 1:
+            time.sleep(sleep_s)
+    return False
+
 
 def main():
+    _watchdog(int(os.environ.get("TPUFEM_BENCH_TIMEOUT", "5400")))
+    if not _tunnel_alive():
+        _fail("tpu tunnel unreachable (probe timed out)")
+        return
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -118,7 +190,7 @@ def main():
         )
     if polycrystal_mdof_s is not None:
         out["polycrystal_mdof_s"] = round(polycrystal_mdof_s, 2)
-    print(json.dumps(out), flush=True)
+    _emit(out)
 
 
 def _bench_unstructured(n: int = 1024, *, jitter: bool = True):

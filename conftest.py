@@ -28,10 +28,29 @@ jax.config.update("jax_enable_x64", True)
 # persistent XLA compilation cache: every test process re-traces the
 # same programs (fresh Assembler pytrees -> new jit cache keys), and
 # compilation dominates suite wall time; the disk cache cuts reruns
-# from ~30 min to minutes
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 ".jax_cache_cpu"),
-)
+# from ~30 min to minutes.
+# The dir is keyed by the host CPU signature: this microVM is snapshot-
+# restored across machine generations, and XLA:CPU AOT executables
+# compiled for a newer ISA SIGILL (or wedge the loader) on an older
+# host. A host change now just starts a cold cache.
+
+
+def _cpu_cache_dir():
+    import hashlib
+    sig = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    sig = sig + line
+                    if "flags" in line:
+                        break
+    except OSError:
+        pass
+    tag = hashlib.sha256(sig.encode()).hexdigest()[:12]
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f".jax_cache_cpu_{tag}")
+
+
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
