@@ -1510,7 +1510,7 @@ class LaneEngine:
                     print(
                         f"lane Newton {it}: |r| = {bnorm:.6e} (cg {k}"
                         + (f", damping {alpha}" if alpha < 1.0 else "")
-                        + ")"
+                        + ")", flush=True
                     )
             b, bnorm = rhs(eng, u, coeff_cells, free)
             bnorm = float(bnorm)
@@ -1862,7 +1862,7 @@ class LaneEngine:
                     print(
                         f"mixed Newton {it}: |r| = {bnorm:.6e} (cg {k}"
                         + (f", damping {alpha}" if alpha < 1.0 else "")
-                        + ")"
+                        + ")", flush=True
                     )
             b64, bnorm = rhs64(asm, u, coeffs_flat, free64)
             bnorm = float(bnorm)
