@@ -44,6 +44,9 @@ def main():
         ),
         mixed=mixed,
         gmsh_roundtrip=(n <= 512),  # ASCII IO at 2M cells is host-bound
+        # survive a remote-worker crash: resume at the last completed
+        # Newton iteration (host phases re-run; the solve does not)
+        checkpoint_path=f"/tmp/poly_e2e_{n}.ckpt.npz" if mixed else None,
     )
     total = time.perf_counter() - t0
     print(f"\npolycrystal e2e: {res.n_dofs/1e6:.2f}M dofs, total {total:.1f}s")

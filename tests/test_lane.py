@@ -357,6 +357,47 @@ def test_mixed_amg_matches_f64_on_graded_mesh():
     )
 
 
+def test_mixed_solver_checkpoint_resume(tmp_path):
+    """A remote-worker crash mid-solve must not lose the run: the mixed
+    solver persists the f64 iterate after every Newton iteration, and a
+    fresh solver resumes from that file onto the same root."""
+    F, bcs, V, coeffs, _ = _problem(n=10)
+    ckpt = str(tmp_path / "mixed.ckpt.npz")
+    cfg = SolverConfig(cg_rtol=1e-8, newton_rtol=1e-10, cg_maxit=4000,
+                       newton_maxit=30, error_on_nonconvergence=False)
+
+    def make(maxit):
+        emx = LaneEngine(F, bcs, wg_own=8, interpret=True,
+                         store_dtype=np.float32)
+        import dataclasses
+        c = dataclasses.replace(cfg, newton_maxit=maxit)
+        return emx.make_mixed_solver(c, checkpoint_path=ckpt), emx
+
+    # uninterrupted gold run (no checkpointing)
+    emx0 = LaneEngine(F, bcs, wg_own=8, interpret=True,
+                      store_dtype=np.float32)
+    u_gold, s_gold = emx0.make_mixed_solver(cfg)(
+        jnp.zeros(V.n_dofs, dtype=jnp.float64), coeffs,
+        emx0.prepare_coeffs(coeffs))
+    assert s_gold["converged"] and s_gold["newton_iters"] >= 2
+
+    # "crash" after 1 Newton iteration, then resume in a fresh solver
+    solve1, e1 = make(1)
+    solve1(jnp.zeros(V.n_dofs, dtype=jnp.float64), coeffs,
+           e1.prepare_coeffs(coeffs))
+    import os
+    assert os.path.exists(ckpt)
+    solve2, e2 = make(30)
+    u_res, s_res = solve2(jnp.zeros(V.n_dofs, dtype=jnp.float64), coeffs,
+                          e2.prepare_coeffs(coeffs))
+    assert s_res["converged"], s_res
+    # resumed run skips the already-completed first iteration
+    assert s_res["newton_iters"] <= s_gold["newton_iters"]
+    rel = np.linalg.norm(np.asarray(u_res) - np.asarray(u_gold)) / (
+        np.linalg.norm(np.asarray(u_gold)))
+    assert rel < 1e-9, rel
+
+
 def test_plan_native_matches_numpy(monkeypatch):
     """The native C++ planner stages (balance, copies, rank, gather
     fill) must reproduce the NumPy fallback field-for-field."""

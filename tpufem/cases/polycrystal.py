@@ -132,6 +132,7 @@ def run(
     mixed: bool = False,
     postprocess_fields: bool = True,
     output_path: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
 ) -> PolycrystalResult:
     """End-to-end: generate (or take) the polycrystal, optional gmsh 2.2
     write+read round trip, per-grain E via the reference's glibc stream,
@@ -247,6 +248,7 @@ def run(
             cfg,
             cg_chunk=20 if use_tl else 200,
             fine_coeffs={"d": d, "E": E_cell} if use_tl else None,
+            checkpoint_path=checkpoint_path,
         )
         u64, stats = solve(
             jnp.zeros(V.n_dofs, dtype=jnp.float64),

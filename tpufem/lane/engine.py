@@ -1470,15 +1470,25 @@ class LaneEngine:
                 stall = 0
                 best_rr = float("inf")
                 chunk = cg_chunk
+                import time as _ct
                 while k < cfg.cg_maxit:
                     nsteps = min(chunk, cfg.cg_maxit - k)
+                    _tc = _ct.perf_counter()
                     state, rr = cg_chunk_fn(
                         nsteps, eng, u, coeff_cells, free, dinv, tl_data,
                         state
                     )
                     k += nsteps
-                    chunk = min(2 * chunk, cg_chunk_max)
-                    rr = float(rr)
+                    rr = float(rr)  # blocks: device exec + tunnel RTT
+                    _tc = _ct.perf_counter() - _tc
+                    # grow only while a DOUBLED dispatch stays clearly
+                    # under the remote runtime's ~20 s single-execution
+                    # fault limit (wall includes the 2-3 s RTT, so this
+                    # is conservative); shrink if we are already close
+                    if _tc < 6.0:
+                        chunk = min(2 * chunk, cg_chunk_max)
+                    elif _tc > 12.0:
+                        chunk = max(chunk // 2, cg_chunk)
                     if rr < tol:
                         break
                     # stall guard: CG on a branch-switched tangent with a
@@ -1527,7 +1537,8 @@ class LaneEngine:
                           cg_chunk: int = 20, fine_coeffs=None,
                           twolevel_nc=None, inner_dtype=None,
                           f64_batch: int = 65536,
-                          cg_chunk_max: Optional[int] = None):
+                          cg_chunk_max: Optional[int] = None,
+                          checkpoint_path: Optional[str] = None):
         """Mixed-precision defect-correction Newton-Krylov.
 
         Outer residuals, convergence control, line search and iterate
@@ -1709,7 +1720,20 @@ class LaneEngine:
             r0 = None
             total_cg = 0
             it = 0
-            for it in range(1, cfg.newton_maxit + 1):
+            it0 = 1
+            if checkpoint_path is not None:
+                import os
+
+                if os.path.exists(checkpoint_path):
+                    ck = np.load(checkpoint_path)
+                    u = jnp.asarray(ck["u"], dtype=f64)
+                    r0 = float(ck["r0"])
+                    total_cg = int(ck["total_cg"])
+                    it0 = int(ck["it"]) + 1
+                    print(f"mixed Newton: resumed from {checkpoint_path}"
+                          f" (after iteration {int(ck['it'])})",
+                          flush=True)
+            for it in range(it0, cfg.newton_maxit + 1):
                 _t0 = _time.perf_counter()
                 b64, bnorm = rhs64(asm, u, coeffs_flat, free64)
                 bnorm = float(bnorm)
@@ -1815,13 +1839,22 @@ class LaneEngine:
                     _t0 = _time.perf_counter()
                     while k < cfg.cg_maxit:
                         nsteps = min(chunk, cfg.cg_maxit - k)
+                        _tc = _time.perf_counter()
                         state, rr = cg_chunk_fn(
                             nsteps, ieng, u_in, coeffs_in, free_in, dinv,
                             tl_data, state
                         )
                         k += nsteps
-                        chunk = min(2 * chunk, cg_chunk_max)
-                        rr = float(rr)
+                        rr = float(rr)  # blocks: exec + tunnel RTT
+                        _tc = _time.perf_counter() - _tc
+                        # time-aware growth: keep a doubled dispatch
+                        # clearly under the remote ~20 s execution
+                        # fault limit (see axon gotchas); shrink when
+                        # a chunk already runs long
+                        if _tc < 6.0:
+                            chunk = min(2 * chunk, cg_chunk_max)
+                        elif _tc > 12.0:
+                            chunk = max(chunk // 2, cg_chunk)
                         if rr < tol:
                             break
                         if rr > 0.9 * best_rr:
@@ -1864,6 +1897,17 @@ class LaneEngine:
                         + (f", damping {alpha}" if alpha < 1.0 else "")
                         + ")", flush=True
                     )
+                if checkpoint_path is not None:
+                    # atomic write: a remote-worker crash mid-run (the
+                    # axon tunnel's failure mode) resumes at the last
+                    # completed Newton iteration instead of restarting
+                    import os
+
+                    tmp = checkpoint_path + ".tmp"
+                    with open(tmp, "wb") as fh:
+                        np.savez(fh, u=np.asarray(u), it=it,
+                                 total_cg=total_cg, r0=r0)
+                    os.replace(tmp, checkpoint_path)
             b64, bnorm = rhs64(asm, u, coeffs_flat, free64)
             bnorm = float(bnorm)
             converged = bnorm < max(cfg.newton_rtol * (r0 or bnorm or 1.0),
