@@ -46,7 +46,8 @@ def main():
           f"({ndofs/1e6:.2f}M dofs, {mesh.n_cells/1e6:.2f}M tets)",
           flush=True)
     t0 = time.time()
-    eng = LaneEngine(F, bcs, wg_own=int(__import__("os").environ.get("WGOWN", "32")))
+    eng = LaneEngine(F, bcs, fused=True,
+                     wg_own=int(__import__("os").environ.get("WGOWN", "32")))
     p = eng.plan
     print(f"plan: {time.time()-t0:.1f}s G={p.G} wg={p.wg} kc={p.kc} "
           f"copies={len(p.copy_dst_rows)/p.n_nodes:.2f}x "
@@ -70,23 +71,42 @@ def main():
 
     @jax.jit
     def chain_t(e, ul, x, iters):
-        ucells = e._gather_cells(ul)
+        # make_tangent is the CG hot path: fused tangent_action when
+        # available, else gather hoisted out of the loop
+        tang = e.make_tangent(ul, cc)
 
         def body(_, xx):
-            return xx * 0.9999 + e.tangent_from_cells(ucells, cc, xx) * 1e-9
+            return xx * 0.9999 + tang(xx) * 1e-9
 
         return jax.lax.fori_loop(0, iters, body, x)
 
     # ~24 ms/iter: chunk dispatches to ~6 s of device work each (the
-    # runtime faults on single executions past ~20 s)
+    # runtime faults on single executions past ~20 s). Measure both
+    # lane paths (staged select-kernel pipeline vs fused
+    # gather+physics+scatter with the k_block sub-block grid axis);
+    # jit caches the engine pytree by aux identity, so flip _fused on
+    # a fresh shallow copy (see bench.py).
+    import copy
+    import os
+
+    paths = os.environ.get("PATHS", "staged,fused").split(",")
+    meas = os.environ.get("MEAS", "residual,tangent").split(",")
     reps = (64, 1064)
-    pr = slope_time("3D lane residual", chain_r, (eng32,), u0, reps,
-                    chunk=256)
-    print(f"  -> {ndofs/pr/1e9:.2f} GDoF/s residual", flush=True)
-    pt = slope_time("3D lane tangent ", chain_t, (eng32, u0), u0, reps,
-                    chunk=256)
-    print(f"  -> {ndofs/pt/1e9:.2f} GDoF/s tangent (CG-hoisted)",
-          flush=True)
+    for fused in (False, True):
+        if ("fused" if fused else "staged") not in paths:
+            continue
+        e = copy.copy(eng32)
+        object.__setattr__(e, "_fused", fused)
+        path = "fused " if fused else "staged"
+        if "residual" in meas:
+            pr = slope_time(f"3D lane residual ({path})", chain_r, (e,),
+                            u0, reps, chunk=256)
+            print(f"  -> {ndofs/pr/1e9:.2f} GDoF/s residual", flush=True)
+        if "tangent" in meas:
+            pt = slope_time(f"3D lane tangent  ({path})", chain_t,
+                            (e, u0), u0, reps, chunk=256)
+            print(f"  -> {ndofs/pt/1e9:.2f} GDoF/s tangent (CG path)",
+                  flush=True)
 
 
 if __name__ == "__main__":
