@@ -95,6 +95,12 @@ def main():
     for fused in (False, True):
         if ("fused" if fused else "staged") not in paths:
             continue
+        if fused and not eng32._fused:
+            # engine fell back at construction (fused_geom=None) —
+            # forcing _fused=True would crash, not measure (ADVICE r2)
+            print("3D lane fused path unavailable on this engine; "
+                  "skipping", flush=True)
+            continue
         e = copy.copy(eng32)
         object.__setattr__(e, "_fused", fused)
         path = "fused " if fused else "staged"

@@ -614,19 +614,83 @@ def test_lane_multiqp_multi_term_fold():
     assert np.abs(tv - tv_ref).max() < 1e-11 * np.abs(tv_ref).max()
 
 
-def test_lane_rejects_facet_terms():
-    """The lane pipeline evaluates cell terms only — a functional with
-    facet terms must be rejected loudly, never silently dropped."""
+def test_lane_facet_parity():
+    """Facet (traction) terms on the lane engine: residual, tangent
+    action and Jacobi diagonal must match the flat Assembler exactly —
+    the round-2 verdict's "assembles correctly or raises on every path"
+    contract, on the assemble side (staged facet gather-sum added to
+    the lane cell pipeline)."""
     from tpufem.forms.form import FacetTerm
+    from tpufem.mesh.topology import locate_entities_boundary
 
-    mesh = unit_square(4)
+    mesh = unit_square(6)
     V = FunctionSpace.create(mesh, 1, bs=2)
     t = Term(lambda qp: linear_elastic_psi(qp.eps, E, NU), 1)
-    ft = FacetTerm(lambda qp: 1e3 * qp.u[0], 2,
-                   facets=np.array([0], dtype=np.int64))
+    right = locate_entities_boundary(
+        mesh, 1, lambda x: np.abs(x[:, 0] - 1) < 1e-12
+    )
+    ft = FacetTerm(lambda f: -1e3 * f.u[0] + 2.0 * jnp.dot(f.normal, f.u),
+                   2, facets=right)
     F = EnergyFunctional(V, [t], facet_terms=[ft])
-    with pytest.raises(NotImplementedError):
-        LaneEngine(F, [], interpret=True)
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    asm = Assembler(F, bcs)
+    eng = LaneEngine(F, bcs, interpret=True)
+    cc = eng.prepare_coeffs({})
+    rng = np.random.default_rng(12)
+    u_flat = rng.normal(size=V.n_dofs) * 1e-3
+    v_flat = rng.normal(size=V.n_dofs)
+    u_lane = jnp.asarray(eng.to_lane(u_flat))
+    r = eng.from_lane(eng.residual(u_lane, cc))
+    r_ref = np.asarray(asm.residual(jnp.asarray(u_flat), {}))
+    assert np.abs(r - r_ref).max() < 1e-11 * np.abs(r_ref).max()
+    tv = eng.from_lane(
+        eng.tangent_action(u_lane, cc, jnp.asarray(eng.to_lane(v_flat)))
+    )
+    tv_ref = np.asarray(
+        asm.tangent_action(jnp.asarray(u_flat), {}, jnp.asarray(v_flat))
+    )
+    assert np.abs(tv - tv_ref).max() < 1e-10 * np.abs(tv_ref).max()
+    # hoisted-gather tangent path (what CG uses): same contract
+    u_cells = eng._gather_cells(u_lane)
+    tv2 = eng.from_lane(
+        eng.tangent_from_cells(u_cells, cc, jnp.asarray(eng.to_lane(v_flat)))
+    )
+    assert np.abs(tv2 - tv_ref).max() < 1e-10 * np.abs(tv_ref).max()
+
+
+def test_lane_facet_solve_matches_flat():
+    """Facet-loaded Newton solve on the lane engine lands on the flat
+    solver's uniaxial-traction solution (tests/test_facets.py analytic
+    case, lane path)."""
+    from tpufem.forms.form import FacetTerm
+    from tpufem.mesh.topology import locate_entities_boundary
+
+    mesh = unit_square(6)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    trac = 1000.0
+    right = locate_entities_boundary(
+        mesh, 1, lambda x: np.abs(x[:, 0] - 1) < 1e-12
+    )
+    t = Term(lambda qp: linear_elastic_psi(qp.eps, E, NU), 1)
+    ft = FacetTerm(lambda f: -trac * f.u[0], 2, facets=right)
+    F = EnergyFunctional(V, [t], facet_terms=[ft])
+    left_x = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bot_y = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 1]) < 1e-12)
+    bcs = [
+        DirichletBC(V, left_x, 0.0, components=[0]),
+        DirichletBC(V, bot_y, 0.0, components=[1]),
+    ]
+    eng = LaneEngine(F, bcs, interpret=True)
+    cc = eng.prepare_coeffs({})
+    solve = eng.make_solver(SolverConfig(cg_rtol=1e-13, cg_maxit=2000))
+    u_lane, stats = solve(jnp.asarray(eng.to_lane(np.zeros(V.n_dofs))), cc)
+    uu = eng.from_lane(u_lane).reshape(-1, 2)
+    NU_ = NU
+    exx = trac * (1 - NU_**2) / E
+    eyy = -NU_ * (1 + NU_) * trac / E
+    assert np.abs(uu[:, 0] - exx * V.dof_coords[:, 0]).max() < 1e-10
+    assert np.abs(uu[:, 1] - eyy * V.dof_coords[:, 1]).max() < 1e-10
 
 
 def test_lane_neohookean_fallback_parity():

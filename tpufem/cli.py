@@ -35,11 +35,14 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
                    help="CG relative tolerance (default 1e-12)")
     g.add_argument("--cg-maxit", type=int, default=2000,
                    help="CG max iterations (default 2000)")
-    g.add_argument("--pc", default="jacobi",
+    # default=None so subcommands can tell "flag not given" apart from
+    # an explicit --pc jacobi and pick their own default (ADVICE r2)
+    g.add_argument("--pc", default=None,
                    choices=["none", "jacobi", "chebyshev", "block_jacobi",
                             "amg", "twolevel"],
-                   help="preconditioner (default jacobi; amg = SA-AMG "
-                        "with rigid-body-mode near-nullspace)")
+                   help="preconditioner (default: jacobi, or twolevel on "
+                        "the polycrystal subcommand; amg = SA-AMG with "
+                        "rigid-body-mode near-nullspace)")
     g.add_argument("--convergence", default="r0", choices=["r0", "du0"],
                    help="nonlinear convergence convention: r0 (MFEM) or "
                         "du0 (dolfinx); doc.tex:2065-2068")
@@ -52,7 +55,7 @@ def _solver_config(args, **overrides):
         newton_rtol=args.rel, newton_atol=args.abs_,
         newton_maxit=args.maxit, cg_rtol=args.cg_rtol,
         cg_maxit=args.cg_maxit, convergence=args.convergence,
-        preconditioner=args.pc,
+        preconditioner=args.pc if args.pc is not None else "jacobi",
     )
     kw.update(overrides)
     return SolverConfig(**kw)
@@ -62,7 +65,7 @@ def _cmd_mechanic2d(args) -> int:
     from tpufem.cases import mechanic2d
     from tpufem.config import Mechanic2DConfig
 
-    pc = args.pc
+    pc = args.pc if args.pc is not None else "jacobi"
     if pc in ("twolevel",):
         print("mechanic2d: --pc twolevel is a lane-engine option; "
               "using amg", file=sys.stderr)
@@ -91,7 +94,7 @@ def _cmd_polycrystal(args) -> int:
         args.n, n_grains=args.grains, use_ecst=args.ecst,
         solver=_solver_config(
             args,
-            preconditioner="twolevel" if args.pc == "jacobi" else args.pc,
+            preconditioner=args.pc if args.pc is not None else "twolevel",
         ),
         wg_own=args.wg_own, smooth_iters=args.smooth_iters,
         n_damage_chains=args.chains, mixed=args.mixed,
@@ -113,8 +116,10 @@ def _cmd_elasticity3d(args) -> int:
         cell_type=(CellType.hexahedron if args.cell == "hexahedron"
                    else CellType.tetra),
         matrix_free=not args.matrix,
-        solver=_solver_config(args, preconditioner=args.pc,
-                              cg_rtol=args.cg_rtol),
+        solver=_solver_config(
+            args, cg_rtol=args.cg_rtol,
+            preconditioner=args.pc if args.pc is not None else "jacobi",
+        ),
     )
     res, V, _mesh = elasticity3d.run(cfg)
     print(f"dofs: {V.n_dofs}  newton={int(res.newton_iters)} "
@@ -127,7 +132,10 @@ def _cmd_neohookean(args) -> int:
 
     cfg = neohookean.NeoHookeanConfig(
         n=args.n,
-        solver=_solver_config(args, preconditioner=args.pc),
+        solver=_solver_config(
+            args,
+            preconditioner=args.pc if args.pc is not None else "jacobi",
+        ),
     )
     res, V, _mesh = neohookean.run(cfg)
     print(f"dofs: {V.n_dofs}  newton={int(res.newton_iters)} "
