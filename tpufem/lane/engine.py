@@ -1535,7 +1535,7 @@ class LaneEngine:
 
         @functools.partial(jax.jit, static_argnums=(0,))
         def cg_chunk_fn(nsteps, eng, u_lin, coeffs, free, dinv, tl_data,
-                        state):
+                        state, tol):
             if use_tl:
                 # twolevel preconditions with the hoisted cell state
                 u_cells = eng._gather_cells(u_lin)
@@ -1557,8 +1557,19 @@ class LaneEngine:
                     )
                 return dinv * r
 
-            def body(_, st):
-                x, r, z, pvec, rz = st
+            # bounded while_loop with the tolerance checked EVERY
+            # iteration on-device: the exit iteration is determined by
+            # the math, never by where the wall-clock-adaptive chunk
+            # boundaries happen to fall. This is what makes total CG
+            # counts bit-reproducible run-to-run (the round-2 1120-vs-
+            # 5160 variance was convergence only being tested once per
+            # chunk while chunk sizes tracked tunnel RTT).
+            def cond(st):
+                _x, _r, _z, _p, _rz, rr2, k = st
+                return (k < nsteps) & (rr2 > tol * tol)
+
+            def body(st):
+                x, r, z, pvec, rz, _rr2, k = st
                 Ap = A(pvec)
                 alpha = rz / eng.dot(pvec, Ap)
                 x = x + alpha * pvec
@@ -1566,10 +1577,11 @@ class LaneEngine:
                 z = M(r)
                 rz_new = eng.dot(r, z)
                 pvec = z + (rz_new / rz) * pvec
-                return (x, r, z, pvec, rz_new)
+                return (x, r, z, pvec, rz_new, eng.dot(r, r), k + 1)
 
-            st = jax.lax.fori_loop(0, nsteps, body, state)
-            return st, jnp.sqrt(eng.dot(st[1], st[1]))
+            st = jax.lax.while_loop(cond, body, state)
+            return (st[:5] + (st[5], jnp.zeros((), jnp.int32)),
+                    jnp.sqrt(st[5]), st[6])
 
         def solve(u0_lane, coeff_cells):
             free = eng.free_lane.astype(u0_lane.dtype)
@@ -1616,8 +1628,10 @@ class LaneEngine:
                     )
                 else:
                     z0 = dinv * b
-                state = (jnp.zeros_like(b), b, z0, z0, eng.dot(b, z0))
+                state = (jnp.zeros_like(b), b, z0, z0, eng.dot(b, z0),
+                         eng.dot(b, b), jnp.zeros((), jnp.int32))
                 tol = max(cfg.cg_rtol * bnorm, cfg.cg_atol)
+                tol_dev = jnp.asarray(tol, dtype=b.dtype)
                 k = 0
                 stall = 0
                 best_rr = float("inf")
@@ -1626,12 +1640,13 @@ class LaneEngine:
                 while k < cfg.cg_maxit:
                     nsteps = min(chunk, cfg.cg_maxit - k)
                     _tc = _ct.perf_counter()
-                    state, rr = cg_chunk_fn(
+                    state, rr, kd = cg_chunk_fn(
                         nsteps, eng, u, coeff_cells, free, dinv, tl_data,
-                        state
+                        state, tol_dev
                     )
-                    k += nsteps
                     rr = float(rr)  # blocks: device exec + tunnel RTT
+                    kd = int(kd)    # iterations actually run this chunk
+                    k += kd
                     _tc = _ct.perf_counter() - _tc
                     # grow only while a DOUBLED dispatch stays clearly
                     # under the remote runtime's ~20 s single-execution
@@ -1646,7 +1661,7 @@ class LaneEngine:
                             chunk = max(chunk // 2, cg_chunk)
                     else:
                         _warm_sizes.add(nsteps)
-                    if rr < tol:
+                    if rr < tol or kd < nsteps:
                         break
                     # stall guard: CG on a branch-switched tangent with a
                     # stale preconditioner can plateau — take the partial
@@ -1821,7 +1836,7 @@ class LaneEngine:
 
         @functools.partial(jax.jit, static_argnums=(0,))
         def cg_chunk_fn(nsteps, eng_, u_lin, coeffs, free, dinv, tl_data,
-                        state):
+                        state, tol):
             if use_tl:
                 u_cells = eng_._gather_cells(u_lin)
                 Araw = lambda v: eng_.tangent_from_cells(
@@ -1849,8 +1864,17 @@ class LaneEngine:
                     return _amg_M(tl_data, r)
                 return dinv * r
 
-            def body(_, st):
-                x, r, z, pvec, rz = st
+            # in-device per-iteration tolerance check (bounded
+            # while_loop): iteration counts are set by the math, not by
+            # where the RTT-adaptive chunk boundaries fall — the round-2
+            # 1120-vs-5160 run-to-run CG variance was chunk-boundary
+            # overshoot, not f32 nondeterminism
+            def cond(st):
+                _x, _r, _z, _p, _rz, rr2, k = st
+                return (k < nsteps) & (rr2 > tol * tol)
+
+            def body(st):
+                x, r, z, pvec, rz, _rr2, k = st
                 Ap = A(pvec)
                 alpha = rz / eng_.dot(pvec, Ap)
                 x = x + alpha * pvec
@@ -1858,10 +1882,11 @@ class LaneEngine:
                 z = M(r)
                 rz_new = eng_.dot(r, z)
                 pvec = z + (rz_new / rz) * pvec
-                return (x, r, z, pvec, rz_new)
+                return (x, r, z, pvec, rz_new, eng_.dot(r, r), k + 1)
 
-            st = jax.lax.fori_loop(0, nsteps, body, state)
-            return st, jnp.sqrt(eng.dot(st[1], st[1]))
+            st = jax.lax.while_loop(cond, body, state)
+            return (st[:5] + (st[5], jnp.zeros((), jnp.int32)),
+                    jnp.sqrt(st[5]), st[6])
 
         def solve(u0_flat, coeffs_flat, coeff_cells):
             import time as _time
@@ -2023,10 +2048,12 @@ class LaneEngine:
                     else:
                         z0 = dinv * b_in
                     state = (jnp.zeros_like(b_in), b_in, z0, z0,
-                             ieng.dot(b_in, z0))
+                             ieng.dot(b_in, z0), ieng.dot(b_in, b_in),
+                             jnp.zeros((), jnp.int32))
                     # inner tolerance is relative to the normalized rhs
                     # (norm 1); f32 bottoms out near ~1e-6
                     tol = max(cfg.cg_rtol, cfg.cg_atol / scale)
+                    tol_dev = jnp.asarray(tol, dtype=idt)
                     k = 0
                     stall = 0
                     best_rr = float("inf")
@@ -2035,12 +2062,13 @@ class LaneEngine:
                     while k < cfg.cg_maxit:
                         nsteps = min(chunk, cfg.cg_maxit - k)
                         _tc = _time.perf_counter()
-                        state, rr = cg_chunk_fn(
+                        state, rr, kd = cg_chunk_fn(
                             nsteps, ieng, u_in, coeffs_in, free_in, dinv,
-                            tl_data, state
+                            tl_data, state, tol_dev
                         )
-                        k += nsteps
                         rr = float(rr)  # blocks: exec + tunnel RTT
+                        kd = int(kd)
+                        k += kd
                         _tc = _time.perf_counter() - _tc
                         # time-aware growth: keep a doubled dispatch
                         # clearly under the remote ~20 s execution
@@ -2054,7 +2082,7 @@ class LaneEngine:
                                 chunk = max(chunk // 2, cg_chunk)
                         else:
                             _warm_sizes.add(nsteps)
-                        if rr < tol:
+                        if rr < tol or kd < nsteps:
                             break
                         if rr > 0.9 * best_rr:
                             stall += 1
