@@ -166,13 +166,14 @@ def main():
     # extra key; the headline metric stays the lattice rate for
     # round-over-round comparability.
     unstructured_mdof_s = polycrystal_mdof_s = None
+    kernel_only = {}
     try:
         # regular triangulation fed through the generic unstructured
         # pipeline (the engine never sees its regularity), and the
         # jittered-Delaunay polycrystal (the reference workload shape,
         # ~25% more padded slots + 50% wider copy windows)
-        unstructured_mdof_s = _bench_unstructured(jitter=False)
-        polycrystal_mdof_s = _bench_unstructured(jitter=True)
+        unstructured_mdof_s, _ = _bench_unstructured(jitter=False)
+        polycrystal_mdof_s, kernel_only = _bench_unstructured(jitter=True)
     except Exception as e:  # keep the headline alive no matter what
         print(f"unstructured bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -190,6 +191,11 @@ def main():
         )
     if polycrystal_mdof_s is not None:
         out["polycrystal_mdof_s"] = round(polycrystal_mdof_s, 2)
+    # kernel-only device rates (PROF_KERNEL analog, reference measures
+    # 16/17): the fused element kernel alone and the owner/refresh
+    # consistency kernels, next to the end-to-end residual rate
+    for k, v in kernel_only.items():
+        out[f"kernel_{k}_mdof_s"] = round(v, 2)
     _emit(out)
 
 
@@ -250,6 +256,24 @@ def _bench_unstructured(n: int = 1024, *, jitter: bool = True):
         float(np.asarray(xx).ravel()[0])
         return time.perf_counter() - t0
 
+    # kernel-only device times (PROF_KERNEL analog): the fused element
+    # kernel alone + the owner/refresh pass kernels
+    kernel_only = {}
+    if eng._fused:
+        try:
+            from tpufem.perf.kernels import time_lane_kernels
+
+            kt = time_lane_kernels(eng32, cc, u0=u0)
+            for k in ("elem", "ownref"):
+                if k in kt:
+                    kernel_only[k] = ndofs / kt[k] / 1e6
+                    print(f"unstructured[{kind}] kernel-only {k}: "
+                          f"{kt[k]*1e3:.3f} ms -> "
+                          f"{kernel_only[k]:.1f} MDoF/s", file=sys.stderr)
+        except Exception as e:
+            print(f"kernel-only timing failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # measure BOTH lane paths and report the faster one. Which wins is
     # a toolchain property, not a code property: the fused
     # gather+physics+scatter kernel measured 1.89 ms on the 2026-08
@@ -280,7 +304,7 @@ def _bench_unstructured(n: int = 1024, *, jitter: bool = True):
         print(f"unstructured[{kind}] residual ({path}): "
               f"{dt*1e3:.3f} ms -> {r_p:.1f} MDoF/s", file=sys.stderr)
         rate = max(rate, r_p)
-    return rate
+    return rate, kernel_only
 
 
 if __name__ == "__main__":

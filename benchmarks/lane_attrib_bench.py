@@ -59,7 +59,8 @@ def build(meshname, n, wg_own):
     print(f"{meshname}: ndofs={V.n_dofs} G={p.G} kc={p.kc} wg={p.wg} "
           f"wg_copy={p.wg_copy} R={p.R} passes={len(p.owner_passes)}"
           f"/{len(p.refresh_passes)} tail={len(p.tail_copy_slot)} "
-          f"fused_kb={eng._fused_kb}", flush=True)
+          f"fused_kb={eng._fused_kb} owner_wrs={eng.owner_wrs} "
+          f"refresh_wrs={eng.refresh_wrs}", flush=True)
     return eng, cc, V.n_dofs
 
 

@@ -207,37 +207,28 @@ class LaneEngine:
         # static (pytree aux); start/idx arrays are leaves so jitted
         # callers get them as buffer arguments, never baked-in constants
         G, wg, wg_own_, wg_copy = p.G, p.wg, p.wg_own, p.wg_copy
-        self.owner_shifts = tuple(
-            int(pp) for (pp, _q, _i) in p.owner_passes
-        )
+        self.owner_shifts = tuple(int(s[0]) for s in p.owner_passes)
+        self.owner_wrs = tuple(int(s[4]) for s in p.owner_passes)
         if p.owner_passes:
             self._owner_starts = jnp.asarray(
-                np.stack([
-                    np.clip((np.arange(G) - qq) * wg + wg_own_, 0,
-                            p.R - wg_copy)
-                    for (_p2, qq, _i) in p.owner_passes
-                ]).astype(np.int32)
+                np.stack([s[3] for s in p.owner_passes]).astype(np.int32)
             )  # (P, G)
             self._owner_idx = jnp.asarray(
                 np.stack([
-                    oidx[:, 0] for (_p2, _q, oidx) in p.owner_passes
+                    s[2][:, 0] for s in p.owner_passes
                 ]).astype(idt)
             )  # (P, G, wg_own, 128)
         else:
             self._owner_starts = self._owner_idx = None
-        self.refresh_shifts = tuple(
-            int(pp) for (pp, _q, _i) in p.refresh_passes
-        )
+        self.refresh_shifts = tuple(int(s[0]) for s in p.refresh_passes)
+        self.refresh_wrs = tuple(int(s[4]) for s in p.refresh_passes)
         if p.refresh_passes:
             self._refresh_starts = jnp.asarray(
-                np.stack([
-                    np.clip((np.arange(G) + qq) * wg, 0, p.R - wg_own_)
-                    for (_p2, qq, _i) in p.refresh_passes
-                ]).astype(np.int32)
+                np.stack([s[3] for s in p.refresh_passes]).astype(np.int32)
             )  # (P, G)
             self._refresh_idx = jnp.asarray(
                 np.stack([
-                    ridx[:, 0] for (_p2, _q, ridx) in p.refresh_passes
+                    s[2][:, 0] for s in p.refresh_passes
                 ]).astype(idt)
             )  # (P, G, wg_copy, 128)
         else:
@@ -1333,22 +1324,21 @@ class LaneEngine:
         if self._owner_idx is not None:
             flat = lane_pass_update(
                 flat, self._owner_starts, self._owner_idx,
-                wr=p.wg_copy, wg=p.wg, shifts=self.owner_shifts,
+                wrs=self.owner_wrs, wg=p.wg, shifts=self.owner_shifts,
                 head=True, interpret=self.interpret,
             ).reshape(bs, p.R, N_LANES)
         if self._tail_copy is not None:
             # tail owner-sum: copy partials (untouched by the dense
-            # kernel) added into their owner slots
+            # kernel) added into their owner slots. mode='drop' on the
+            # out-of-range sentinel avoids the concatenate+slice pair
+            # (two full-state HBM copies per stage)
             FL = p.R * N_LANES
             f2 = flat.reshape(bs, FL)
             safe = jnp.where(self._tail_copy >= 0, self._tail_copy, 0)
             vals = jnp.take(f2, safe, axis=1) * (self._tail_copy >= 0)
             tgt = jnp.where(self._tail_owner >= 0, self._tail_owner, FL)
-            ext = jnp.concatenate(
-                [f2, jnp.zeros((bs, 1), f2.dtype)], axis=1
-            )
-            ext = ext.at[:, tgt].add(vals)
-            flat = ext[:, :FL].reshape(bs, p.R, N_LANES)
+            f2 = f2.at[:, tgt].add(vals, mode="drop")
+            flat = f2.reshape(bs, p.R, N_LANES)
         return self.refresh_copies(flat)
 
     def refresh_copies(self, total):
@@ -1360,7 +1350,7 @@ class LaneEngine:
         if self._refresh_idx is not None:
             total = lane_pass_update(
                 total, self._refresh_starts, self._refresh_idx,
-                wr=p.wg_own, wg=p.wg,
+                wrs=self.refresh_wrs, wg=p.wg,
                 shifts=tuple(-s for s in self.refresh_shifts),
                 head=False, interpret=self.interpret,
             ).reshape(bs, p.R, N_LANES)
@@ -1372,11 +1362,8 @@ class LaneEngine:
             safe = jnp.where(self._tail_owner >= 0, self._tail_owner, 0)
             vals = jnp.take(f2, safe, axis=1)
             tgt = jnp.where(self._tail_copy >= 0, self._tail_copy, FL)
-            ext = jnp.concatenate(
-                [f2, jnp.zeros((bs, 1), f2.dtype)], axis=1
-            )
-            ext = ext.at[:, tgt].set(vals)
-            total = ext[:, :FL].reshape(bs, p.R, N_LANES)
+            f2 = f2.at[:, tgt].set(vals, mode="drop")
+            total = f2.reshape(bs, p.R, N_LANES)
         return total
 
     # -- assembled quantities ------------------------------------------------------

@@ -272,9 +272,9 @@ def lane_scatter_cm(src, idx, *, k_out: int, n_ch: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wr", "wg", "shifts", "head", "interpret"),
+    static_argnames=("wrs", "wg", "shifts", "head", "interpret"),
 )
-def lane_pass_update(values, starts, idx, *, wr: int, wg: int, shifts,
+def lane_pass_update(values, starts, idx, *, wrs, wg: int, shifts,
                      head: bool, interpret: bool = False):
     """All owner-sum (resp. refresh) passes in ONE kernel, fused with
     the bin-block update. Per pass p and bin t:
@@ -287,23 +287,29 @@ def lane_pass_update(values, starts, idx, *, wr: int, wg: int, shifts,
     window; ``head=False`` (refresh) SETS the last K rows to acc.
 
     values (C, R=T*wg, 128); starts (P, T) int32; idx (P, T, K, 128) in
-    [-1, wr); shifts: static tuple of P lane shifts. Returns
-    (C, T, wg, 128) — reshape to (C, R, 128) is free. Replaces P
-    separate (full-state jnp.roll + windowed gather) rounds plus a
-    full-state .at[].add/.set: window DMAs overlap, the lane shift is
-    an in-register pltpu.roll on the window block."""
+    [-1, wrs[p]); shifts: static tuple of P lane shifts; ``wrs``: static
+    tuple of PER-PASS window heights — the planner sorts copies by
+    (p, q) group within each bin, so each pass only needs its group's
+    row span (a narrow window with a per-bin dynamic start) instead of
+    the whole copy region. Returns (C, T, wg, 128) — reshape to
+    (C, R, 128) is free. Replaces P separate (full-state jnp.roll +
+    windowed gather) rounds plus a full-state .at[].add/.set: window
+    DMAs overlap, the lane shift is an in-register pltpu.roll on the
+    window block."""
     C, R, L = values.shape
     P, T, K, _ = idx.shape
-    assert len(shifts) == P and R == T * wg
+    assert len(shifts) == P and len(wrs) == P and R == T * wg
+    wr_max = max(wrs)
 
     def kern(start_ref, idx_ref, base_ref, v_hbm, o_ref, win, sems):
         t = pl.program_id(0)
         dmas = [
             pltpu.make_async_copy(
-                v_hbm.at[:, pl.ds(start_ref[p, t], wr), :],
+                v_hbm.at[:, pl.ds(start_ref[p, t], wrs[p]), :],
                 # np.int32: under jax_enable_x64 a bare Python int lowers
                 # as an i64 constant, which Mosaic's memref_slice rejects
-                win.at[np.int32(p)], sems.at[np.int32(p)],
+                win.at[np.int32(p), :, pl.ds(0, wrs[p])],
+                sems.at[np.int32(p)],
             )
             for p in range(P)
         ]
@@ -315,12 +321,12 @@ def lane_pass_update(values, starts, idx, *, wr: int, wg: int, shifts,
         for c in range(C):
             acc = jnp.zeros((K, L), values.dtype)
             for p in range(P):
-                w = win[p, c]  # (wr, L)
+                w = win[p, c]  # (wr_max, L)
                 if shifts[p] % L:
                     # pltpu.roll needs a non-negative shift; cyclic over
                     # the 128 lanes so mod is exact
                     w = pltpu.roll(w, np.int32(shifts[p] % L), 1)
-                for r in range(wr):
+                for r in range(wrs[p]):
                     acc = acc + jnp.where(
                         ids[p] == r, w[r : r + 1, :], 0.0
                     )
@@ -357,7 +363,7 @@ def lane_pass_update(values, starts, idx, *, wr: int, wg: int, shifts,
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((P, C, wr, L), values.dtype),
+                pltpu.VMEM((P, C, wr_max, L), values.dtype),
                 pltpu.SemaphoreType.DMA((P,)),
             ],
         ),

@@ -52,10 +52,17 @@ class LanePlan:
     # kernel plans
     gather_idx: np.ndarray  # (G, nv, kc, 128) int32 in [-1, wg)
     gather_starts: np.ndarray  # (G,) int32 = g*wg
-    # owner-sum passes: (p, q) -> idx (G, V, wg_own, 128) in [-1, wg_copy)
-    owner_passes: List[Tuple[int, int, np.ndarray]]
-    # refresh passes: (p, q) -> idx (G, 1, wg_copy, 128) in [-1, wg_own)
-    refresh_passes: List[Tuple[int, int, np.ndarray]]
+    # owner-sum passes: (p, q, idx, start, wr) — idx (G, 1, wg_own, 128)
+    # holds GROUP-RELATIVE source ranks in [-1, wr); start (G,) is the
+    # absolute source-window row per owner bin row; wr is the static
+    # window height (max group span over bins). Copies are sorted by
+    # (bin, (p, q)) so each pass's source rows sit in a narrow window —
+    # the pass kernels loop wr rows instead of the whole copy region
+    # (8 passes x full wg_copy was 62% of the fused poly residual).
+    owner_passes: List[Tuple[int, int, np.ndarray, np.ndarray, int]]
+    # refresh passes: (p, q, idx, start, wr) — idx (G, 1, wg_copy, 128)
+    # holds source rows relative to the pass's own-window start
+    refresh_passes: List[Tuple[int, int, np.ndarray, np.ndarray, int]]
     # tail copies: rare (p, q) combinations (below pass_min_frac of all
     # copies) excluded from the dense kernels; handled as flat-slot
     # gather/scatter pairs (copy slot <-> owner slot, row*128+lane)
@@ -448,6 +455,39 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     owned_mask = np.zeros((R, N_LANES), dtype=bool)
     owned_mask[node_row, lane_of] = True
 
+    # --- group copies by (p, q) -------------------------------------------------
+    # Re-sort the unique copies within each bin by their (lane-shift,
+    # bin-shift) combo so every dense pass occupies a CONTIGUOUS rank
+    # range per bin. The pass kernels then DMA and loop only that
+    # group's row span (per-pass static wr, per-bin dynamic start)
+    # instead of the whole copy window — on the jittered polycrystal
+    # the 8 owner passes each scanned all wg_copy=40 rows (62% of the
+    # fused residual time); grouped, each scans ~its own copies.
+    if len(ubin):
+        gc0 = ubin // N_LANES
+        jc0 = ubin % N_LANES
+        p0 = (lane_of[un] - jc0).astype(np.int64)
+        q0 = (bin_of[un] - gc0).astype(np.int64)
+        p_min0, q_min0 = int(p0.min()), int(q0.min())
+        q_span0 = int(q0.max()) - q_min0 + 1
+        pq_copy = (p0 - p_min0) * q_span0 + (q0 - q_min0)
+        resort = np.lexsort((pq_copy, ubin))
+        if not np.array_equal(resort, np.arange(len(ubin))):
+            ustart_old = np.searchsorted(ubin, np.arange(n_keys + 1))
+            inv_pos = np.empty(len(ubin), dtype=np.int64)
+            inv_pos[resort] = np.arange(len(ubin))
+            # new rank (within bin) of each OLD copy id
+            new_rank = inv_pos - ustart_old[ubin]
+            # remap the per-(cell, v) gather offsets: foreign entries
+            # reference the old within-bin rank
+            fmask = off >= wg_own
+            ck_f = np.broadcast_to(cell_key[:, None], off.shape)[fmask]
+            old_global = ustart_old[ck_f] + (off[fmask] - wg_own)
+            off[fmask] = wg_own + new_rank[old_global]
+            ubin = ubin[resort]
+            un = un[resort]
+            pq_copy = pq_copy[resort]
+            copy_rank = np.arange(len(ubin)) - ustart_old[ubin]
     _tick("copies")
     # --- gather idx --------------------------------------------------------------
 
@@ -498,6 +538,8 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
         q_span = 1
         pq_order = np.zeros(0, dtype=np.int64)
         pq_ukeys = pq_starts = pq_counts = np.zeros(0, dtype=np.int64)
+    gi = np.arange(G)
+    big32 = np.int64(np.iinfo(np.int32).max)
     for pq_k, pq_s, pq_c in zip(pq_ukeys, pq_starts, pq_counts):
         sel = pq_order[pq_s : pq_s + pq_c]
         p = int(pq_k // q_span) + p_min
@@ -505,23 +547,52 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
         if pq_c < min_count:
             tail_mask[sel] = True
             continue
-        # refresh: dst copy (gc, wg_own+i, jc) <- src owned row
-        # in bin gc+q, lane jc+p: kernel runs values=roll(u, -p),
-        # window start (g+q)*wg, idx = row_in_bin of source
-        ridx = np.full((G, 1, wg_copy, N_LANES), -1, dtype=np.int32)
-        ridx[gc[sel], 0, copy_rank[sel], jc[sel]] = row_in_bin[un[sel]]
-        refresh_passes.append((int(p), int(q), ridx))
         # owner-sum: dst owner (gh, row_in_bin, jh) <- copy partial
-        # at bin gh-q (==gc), lane jh-p (==jc), copy row i:
-        # kernel: values=roll(partial, +p)? -> source lane jh-p means
-        # roll(partial, p)[.., jh] = partial[.., jh-p]  => shift=-p
-        # window start (g-q)*wg + wg_own, idx = copy_rank
+        # at bin gh-q (==gc), lane jh-p (==jc). Copies are (bin, pq)-
+        # sorted, so this pass's ranks are contiguous per bin; the
+        # window is [min rank over the source row's lanes, max) —
+        # idx = rank - min, start = source copy region + min.
         # V handling: multiple copies of the same owner in the SAME
         # (p, q) pass cannot happen (a node has at most one copy per
         # bin, and (p,q) fixes the bin) -> V=1
+        mn = np.full(G, big32)
+        mx = np.zeros(G, dtype=np.int64)
+        np.minimum.at(mn, gc[sel], copy_rank[sel])
+        np.maximum.at(mx, gc[sel], copy_rank[sel] + 1)
+        empty = mx == 0
+        mn[empty] = 0
+        mx[empty] = 1
+        owr = int((mx - mn).max())
+        # absolute-row window start per SOURCE bin row, clipped into
+        # [0, R - owr]; idx values are relative to the clipped start so
+        # they stay exact even when the clip shifts the window (last
+        # bin rows)
+        st_o = np.clip(gi * wg + wg_own + mn, 0, R - owr)
         oidx = np.full((G, 1, wg_own, N_LANES), -1, dtype=np.int32)
-        oidx[gh[sel], 0, row_in_bin[un[sel]], jh[sel]] = copy_rank[sel]
-        owner_passes.append((int(p), int(q), oidx))
+        oidx[gh[sel], 0, row_in_bin[un[sel]], jh[sel]] = (
+            gc[sel] * wg + wg_own + copy_rank[sel] - st_o[gc[sel]]
+        )
+        ostart = st_o[np.clip(gi - q, 0, G - 1)].astype(np.int32)
+        owner_passes.append((int(p), int(q), oidx, ostart, owr))
+        # refresh: dst copy (gc, wg_own+i, jc) <- src owned row in bin
+        # gc+q, lane jc+p. Source rows of this pass cluster (q != 0
+        # copies source from the bin edge facing them); the window is
+        # [min source row over the row's copies, max).
+        rmn = np.full(G, big32)
+        rmx = np.zeros(G, dtype=np.int64)
+        np.minimum.at(rmn, gh[sel], row_in_bin[un[sel]])
+        np.maximum.at(rmx, gh[sel], row_in_bin[un[sel]] + 1)
+        rempty = rmx == 0
+        rmn[rempty] = 0
+        rmx[rempty] = 1
+        rwr = int((rmx - rmn).max())
+        st_r = np.clip(gi * wg + rmn, 0, R - rwr)
+        ridx = np.full((G, 1, wg_copy, N_LANES), -1, dtype=np.int32)
+        ridx[gc[sel], 0, copy_rank[sel], jc[sel]] = (
+            gh[sel] * wg + row_in_bin[un[sel]] - st_r[gh[sel]]
+        )
+        rstart = st_r[np.clip(gi + q, 0, G - 1)].astype(np.int32)
+        refresh_passes.append((int(p), int(q), ridx, rstart, rwr))
 
     _tick("passes")
     tail_copy_slot = (

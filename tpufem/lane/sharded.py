@@ -153,28 +153,70 @@ class ShardedLaneEngine:
                 )
                 for sub in subspaces
             ]
-        # unionize owner/refresh pass keys so the SPMD program is common
+        # unionize owner/refresh pass keys (and per-pass window heights)
+        # so the SPMD program is common across shards
         keys = sorted(
-            {(pp, qq) for p in plans for (pp, qq, _) in p.owner_passes}
+            {(s[0], s[1]) for p in plans for s in p.owner_passes}
         )
         wg = plans[0].wg
+        # common static window height per key: max over the shards that
+        # have the pass (missing shards get an all -1 idx + any valid
+        # window; shards with a smaller span read extra rows that their
+        # idx never selects)
+        owr_k = {k: 1 for k in keys}
+        rwr_k = {k: 1 for k in keys}
         for p in plans:
-            od = {(a, b): ix for a, b, ix in p.owner_passes}
-            rd = {(a, b): ix for a, b, ix in p.refresh_passes}
-            p.owner_passes = [
-                (a, b, od.get(
-                    (a, b),
-                    np.full((Gm, 1, p.wg_own, N_LANES), -1, np.int32),
-                ))
-                for (a, b) in keys
-            ]
-            p.refresh_passes = [
-                (a, b, rd.get(
-                    (a, b),
-                    np.full((Gm, 1, p.wg_copy, N_LANES), -1, np.int32),
-                ))
-                for (a, b) in keys
-            ]
+            for s in p.owner_passes:
+                k = (s[0], s[1])
+                owr_k[k] = max(owr_k[k], int(s[4]))
+            for s in p.refresh_passes:
+                k = (s[0], s[1])
+                rwr_k[k] = max(rwr_k[k], int(s[4]))
+        gi = np.arange(Gm)
+        for p in plans:
+            od = {(s[0], s[1]): s for s in p.owner_passes}
+            rd = {(s[0], s[1]): s for s in p.refresh_passes}
+            new_o, new_r = [], []
+            for (a, b) in keys:
+                owr = owr_k[(a, b)]
+                if (a, b) in od:
+                    _a, _b, oix, ost, _w = od[(a, b)]
+                    # re-clip starts for the (possibly larger) common
+                    # wr; idx values are start-relative, so shifted
+                    # windows shift the entries with them
+                    ost_new = np.minimum(ost, p.R - owr).astype(np.int32)
+                    delta = (ost - ost_new).astype(np.int32)
+                    if delta.any():
+                        oix = np.where(
+                            oix >= 0,
+                            oix + delta[:, None, None, None], -1
+                        ).astype(np.int32)
+                    ost = ost_new
+                else:
+                    oix = np.full((Gm, 1, p.wg_own, N_LANES), -1,
+                                  np.int32)
+                    ost = np.clip((gi - b) * wg + p.wg_own, 0,
+                                  p.R - owr).astype(np.int32)
+                new_o.append((a, b, oix, ost, owr))
+                rwr = rwr_k[(a, b)]
+                if (a, b) in rd:
+                    _a, _b, rix, rst, _w = rd[(a, b)]
+                    rst_new = np.minimum(rst, p.R - rwr).astype(np.int32)
+                    delta = (rst - rst_new).astype(np.int32)
+                    if delta.any():
+                        rix = np.where(
+                            rix >= 0,
+                            rix + delta[:, None, None, None], -1
+                        ).astype(np.int32)
+                    rst = rst_new
+                else:
+                    rix = np.full((Gm, 1, p.wg_copy, N_LANES), -1,
+                                  np.int32)
+                    rst = np.clip((gi + b) * wg, 0,
+                                  p.R - rwr).astype(np.int32)
+                new_r.append((a, b, rix, rst, rwr))
+            p.owner_passes = new_o
+            p.refresh_passes = new_r
         # pad the rare-copy tail pairs to a common length (-1 = no-op)
         tmax = max(
             len(p.tail_copy_slot) if p.tail_copy_slot is not None else 0

@@ -1,0 +1,140 @@
+"""Per-kernel device-time measurement — the reference's PROF_KERNEL
+analog.
+
+The reference instruments its *generated element kernels* directly: an
+awk injector adds timers inside the ffcx tabulate functions
+(``FEniCSx/mechanic2d/addprofile:4-14``), reported as measures 16/17
+("kernel-only vector/matrix", ``asym_elasto_damage_model.cc:83-87,
+1175-1178``); MFEM mirrors it with ``time_vect``/``time_grad``
+(``MFEM/mechanic2d/mechanic2d.cc:565,636``). tpufem's equivalents are
+the fused lane element kernel (gather + physics + scatter partials) and
+the owner/refresh pass kernels.
+
+On this runtime, wall-clock around one dispatch measures the tunnel's
+multi-second round trip, not the kernel, and ``block_until_ready`` does
+not synchronize — so kernel time uses the slope protocol: the kernel is
+chained inside ONE jitted ``fori_loop`` (each pass consumes the last),
+a scalar is materialized on host, and two chain lengths are differenced.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def slope_time(chain, args, x0, reps: Tuple[int, int] = (64, 2064)):
+    """Seconds per iteration of ``chain(*args, x0, iters)`` (jitted,
+    ``iters`` static/int) via two chain lengths. The warmup call pays
+    the compile; the difference cancels dispatch round trips."""
+    x = chain(*args, x0, 2)
+    float(np.asarray(x).ravel()[0])
+
+    def run(r):
+        t0 = time.perf_counter()
+        xx = chain(*args, x0, r)
+        float(np.asarray(xx).ravel()[0])
+        return time.perf_counter() - t0
+
+    ta, tb = run(reps[0]), run(reps[1])
+    return max(tb - ta, 1e-9) / (reps[1] - reps[0])
+
+
+def time_lane_kernels(eng, coeff_cells, *, dtype=None,
+                      reps: Tuple[int, int] = (64, 2064),
+                      u0=None) -> Dict[str, float]:
+    """Per-kernel device times (seconds) for a LaneEngine's hot path:
+
+      ``elem``     the fused element kernel alone (gather + physics +
+                   scatter to bin partials) — the reference's
+                   "kernel-only vector" measure 16
+      ``ownref``   owner-sum + refresh pass kernels + copy tail
+      ``residual`` the full consistent residual (= elem + ownref [+
+                   facet correction])
+      ``tangent``  the full tangent action J(u) v
+
+    Requires the engine's fused path; falls back to residual/tangent
+    only when it is unavailable.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from tpufem.lane.kernels import lane_fused_elem
+
+    p = eng.plan
+    bs = eng.bs
+    dt = dtype or jnp.float32
+    if u0 is None:
+        u0 = eng.bc_lane.astype(dt)
+    else:
+        u0 = u0.astype(dt)
+    out: Dict[str, float] = {}
+
+    if eng._fused:
+        cds = eng._fused_cds(coeff_cells, dt)
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def chain_elem(e, cd, x, iters):
+            def body(_, xx):
+                part = lane_fused_elem(
+                    (xx,), e.gather_starts, e.gather_idx, cd,
+                    e._elem_grad_block, wr=e.plan.wg, nv=e.plan.nv,
+                    k_block=e._fused_kb,
+                )
+                return jnp.transpose(part, (1, 0, 2, 3)).reshape(
+                    bs, e.plan.R, 128
+                )
+
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def chain_ownref(e, x, iters):
+            def body(_, xx):
+                return e._owner_refresh(
+                    xx.reshape(bs, e.plan.G, e.plan.wg, 128)
+                )
+
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        out["elem"] = slope_time(chain_elem, (eng, cds), u0, reps)
+        out["ownref"] = slope_time(chain_ownref, (eng,), u0, reps)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def chain_res(e, c, x, iters):
+        def body(_, xx):
+            return xx * 0.9999 + e.residual(xx, c) * 1e-9
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def chain_tan(e, c, ul, x, iters):
+        def body(_, xx):
+            return xx * 0.9999 + e.tangent_action(ul, c, xx) * 1e-9
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    out["residual"] = slope_time(chain_res, (eng, coeff_cells), u0, reps)
+    out["tangent"] = slope_time(
+        chain_tan, (eng, coeff_cells, u0), u0, reps
+    )
+    return out
+
+
+@contextmanager
+def device_trace(path: Optional[str]):
+    """``jax.profiler.trace`` wrapper (XPlane dump for perfetto/xprof);
+    no-op when ``path`` is falsy or the profiler is unavailable on the
+    platform (the remote tunnel may not support it)."""
+    if not path:
+        yield
+        return
+    try:
+        with jax.profiler.trace(path):
+            yield
+    except Exception:
+        yield
