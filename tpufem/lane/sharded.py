@@ -611,11 +611,17 @@ class ShardedLaneEngine:
             return A
 
         def mk_data(tlg, repl, dinv, lmax):
-            mg_data, coarse_free = repl
-            return tlmod.TwoLevelData(
+            tlg = dict(tlg)
+            V = tlg.pop("rbm_V", None)
+            mg_data, coarse_free = repl[0], repl[1]
+            Ginv = repl[2] if len(repl) > 2 else None
+            data = tlmod.TwoLevelData(
                 inv_d=dinv, lmax=lmax, mg_data=mg_data,
                 coarse_free=coarse_free, **tlg,
             )
+            defl = (V, Ginv) if (V is not None and Ginv is not None) \
+                else None
+            return data, defl
 
         def power_body(leaves, u, coeffs, send, recvp, free, dinv):
             (leaves, u, coeffs, send, recvp, free, dinv) = _index0(
@@ -648,12 +654,13 @@ class ShardedLaneEngine:
         def M_of(eng, u, coeffs, send, recvp, free, dinv, tlg, lmax,
                  repl):
             A = halo_A(eng, u, coeffs, send, recvp, free)
-            data = mk_data(tlg, repl, dinv, lmax)
+            data, defl = mk_data(tlg, repl, dinv, lmax)
 
             def M(r):
                 return tlmod.precondition_with(
                     eng, static, data, free, r, A,
                     coarse_reduce=lambda rc: jax.lax.psum(rc, AXIS),
+                    defl=defl,
                 )
 
             return A, M
@@ -719,7 +726,7 @@ class ShardedLaneEngine:
 
     def make_solver(self, cfg: Optional[SolverConfig] = None, *,
                     cg_chunk: int = 100, fine_coeffs=None,
-                    twolevel_nc=None):
+                    twolevel_nc=None, rbm_deflation: bool = True):
         """Chunked Newton-Krylov over the device mesh — the distributed
         analogue of LaneEngine.make_solver.
 
@@ -729,11 +736,19 @@ class ShardedLaneEngine:
         lattice-MG solve, Chebyshev smoothing on the halo'd tangent) —
         the distributed BoomerAMG analog of BASELINE config 5.
         'twolevel' needs ``fine_coeffs`` (GLOBAL flat coefficient
-        vectors, for lattice sampling)."""
+        vectors, for lattice sampling).
+
+        ``rbm_deflation`` (twolevel only): augment the cycle with the
+        rigid-body-mode coarse correction V (V^T A V)^-1 V^T — the
+        near-nullspace vectors the reference attaches to its AMG at
+        every rank count (FEniCSx/...cc:750-798). The 3x3 Gram is
+        recomputed per Newton iteration (3 tangent actions + dots);
+        only available for bs == 2."""
         cfg = cfg or SolverConfig()
         use_tl = cfg.preconditioner == "twolevel"
         if use_tl and fine_coeffs is None:
             raise ValueError("twolevel needs fine_coeffs")
+        use_rbm = bool(rbm_deflation) and use_tl and self.bs == 2
         _tl = {}
 
         def _tl_setup(dtype):
@@ -744,11 +759,51 @@ class ShardedLaneEngine:
                 nc=twolevel_nc,
                 coarse_dtype=(dtype if dtype != jnp.float64 else None),
             )
+            if use_rbm:
+                # GLOBAL center/scale so every shard's modes agree
+                x = self.space.mesh.x
+                center = ((x[:, 0].min() + x[:, 0].max()) / 2,
+                          (x[:, 1].min() + x[:, 1].max()) / 2)
+                scale = max(x[:, 0].max() - x[:, 0].min(),
+                            x[:, 1].max() - x[:, 1].min(), 1e-30)
+                free_np = np.asarray(self.leaves["free_lane"])
+                V = np.stack([
+                    tlmod.rigid_body_modes_lane(
+                        self._engines[s], center=center, scale=scale,
+                        free=free_np[s],
+                    )
+                    for s in range(self.n_shards)
+                ])  # (S, K, bs, R, 128)
+                tl_geo = dict(tl_geo)
+                tl_geo["rbm_V"] = jnp.asarray(
+                    V, dtype=(jnp.float32 if dtype == jnp.float32
+                              else None)
+                )
             tl_geo = jax.device_put(tl_geo, self._sharding)
             _tl["static"], _tl["geo"], _tl["repl"] = static, tl_geo, repl
             (_tl["power"], _tl["precond_once"],
              _tl["make_cg"]) = self._build_twolevel_programs(static)
             _tl["cg_cache"] = {}
+
+        def _rbm_gram(u, coeff_cells, dtype):
+            """(K, K) inverse Gram of the free-masked RBM modes under
+            the current halo'd tangent — the per-Newton-iteration
+            deflation data (replicated)."""
+            V = _tl["geo"]["rbm_V"]
+            K = V.shape[1]
+            AV = [
+                self.tangent_action(
+                    u, coeff_cells, V[:, k].astype(dtype)
+                )
+                for k in range(K)
+            ]
+            G = np.array([
+                [float(self.dot(V[:, k].astype(dtype), AV[l]))
+                 for l in range(K)]
+                for k in range(K)
+            ])
+            G = (G + G.T) / 2
+            return jnp.asarray(np.linalg.pinv(G), dtype=dtype)
 
         def solve(u0_lane, coeff_cells):
             free = self._free(u0_lane.dtype)
@@ -776,7 +831,12 @@ class ShardedLaneEngine:
                         self.leaves, u, coeff_cells, self._send_idx,
                         self._recv_place, free, dinv,
                     )
-                    tl_args = (dinv, _tl["geo"], lmax, _tl["repl"])
+                    repl = _tl["repl"]
+                    if use_rbm:
+                        repl = tuple(repl) + (
+                            _rbm_gram(u, coeff_cells, u.dtype),
+                        )
+                    tl_args = (dinv, _tl["geo"], lmax, repl)
                     z0 = _tl["precond_once"](
                         self.leaves, u, coeff_cells, self._send_idx,
                         self._recv_place, free, *tl_args, b,

@@ -69,6 +69,44 @@ class TwoLevelStatic(NamedTuple):
     degree: int
 
 
+def rigid_body_modes_lane(eng, *, center=None, scale=None, free=None):
+    """Rigid-body modes in lane layout: (K, bs, R, 128), K = 3 for 2D
+    elasticity (two translations + the in-plane rotation), free-masked
+    and copy-consistent by construction (copy slots carry their node's
+    coordinates). The deflation vectors of the reference's
+    near-nullspace-augmented AMG (FEniCSx/mechanic2d/
+    asym_elasto_damage_model.cc:750-798) for the distributed two-level
+    cycle — ``center``/``scale`` must be GLOBAL quantities so every
+    shard builds consistent modes."""
+    p = eng.plan
+    bs = eng.bs
+    if bs != 2:
+        raise NotImplementedError("lane RBM deflation: bs == 2 (2D)")
+    x = eng.space.mesh.x
+    if center is None:
+        center = (
+            (x[:, 0].min() + x[:, 0].max()) / 2,
+            (x[:, 1].min() + x[:, 1].max()) / 2,
+        )
+    if scale is None:
+        scale = max(
+            x[:, 0].max() - x[:, 0].min(),
+            x[:, 1].max() - x[:, 1].min(), 1e-30,
+        )
+    valid = np.isfinite(p.slot_x)
+    sx = np.where(valid, np.nan_to_num(p.slot_x), 0.0)
+    sy = np.where(valid, np.nan_to_num(p.slot_y), 0.0)
+    V = np.zeros((3, bs, p.R, N_LANES))
+    V[0, 0] = valid
+    V[1, 1] = valid
+    V[2, 0] = -(sy - center[1]) / scale * valid
+    V[2, 1] = (sx - center[0]) / scale * valid
+    if free is None:
+        free = eng.free_lane  # absent on stacked sub-engines
+    free = np.asarray(free, dtype=np.float64)
+    return V * free[None]
+
+
 def _build_coarse(functional, mesh, bs, free_flat, fine_coeffs, *,
                   x0, y0, hx, hy, ncx, ncy, mg_coarse_dofs=1500,
                   coarse_dtype=None):
@@ -601,7 +639,8 @@ def precondition(eng, static, data, u_cells, coeff_cells, free, r):
     return precondition_with(eng, static, data, free, r, A)
 
 
-def precondition_with(eng, static, data, free, r, A, coarse_reduce=None):
+def precondition_with(eng, static, data, free, r, A, coarse_reduce=None,
+                      defl=None):
     """The two-level cycle against a caller-supplied tangent operator
     ``A`` (the sharded engine passes its halo'd action).
     ``coarse_reduce``: applied to the restricted residual before the
@@ -609,7 +648,13 @@ def precondition_with(eng, static, data, free, r, A, coarse_reduce=None):
     axis so every device solves the (replicated) GLOBAL coarse problem;
     the prolongation of a replicated coarse vector is then cross-device
     consistent by construction (same node coordinates -> same
-    interpolated value), so no halo follows it."""
+    interpolated value), so no halo follows it.
+    ``defl``: optional ``(V, Ginv)`` rigid-body-mode deflation — V
+    (K, bs, R, 128) free-masked modes (:func:`rigid_body_modes_lane`),
+    Ginv the (K, K) inverse of the GLOBAL Gram V^T A V. Adds the
+    additive coarse correction V Ginv V^T r (symmetric, PSD — CG stays
+    valid); the near-nullspace augmentation of the reference's AMG
+    (FEniCSx/...cc:750-798) on the distributed path."""
     from tpufem.structured import mg2d
 
     kw = dict(degree=static.degree, lmin_ratio=1.0 / 8.0)
@@ -624,4 +669,14 @@ def precondition_with(eng, static, data, free, r, A, coarse_reduce=None):
     xc = mg2d.vcycle(static.mg_grids, data.mg_data, rc.astype(cdt))
     xc = xc.astype(r.dtype) * data.coarse_free.astype(r.dtype)
     x = x + prolong(eng, static, data, xc) * free
-    return chebyshev_iterate(A, inv_d, lmax, r, x, **kw)
+    x = chebyshev_iterate(A, inv_d, lmax, r, x, **kw)
+    if defl is not None:
+        V, Ginv = defl
+        Vt = V.astype(r.dtype)
+        ow = eng.owned_w.astype(r.dtype)
+        Vr = jnp.einsum("kbrl,brl->k", Vt, r * ow)
+        if coarse_reduce is not None:
+            Vr = coarse_reduce(Vr)
+        coef = Ginv.astype(r.dtype) @ Vr
+        x = x + jnp.einsum("k,kbrl->brl", coef, Vt) * free
+    return x
