@@ -73,11 +73,13 @@ def rigid_body_modes_lane(eng, *, center=None, scale=None, free=None):
     """Rigid-body modes in lane layout: (K, bs, R, 128), K = 3 for 2D
     elasticity (two translations + the in-plane rotation), free-masked
     and copy-consistent by construction (copy slots carry their node's
-    coordinates). The deflation vectors of the reference's
+    coordinates). Deflation vectors in the spirit of the reference's
     near-nullspace-augmented AMG (FEniCSx/mechanic2d/
-    asym_elasto_damage_model.cc:750-798) for the distributed two-level
-    cycle — ``center``/``scale`` must be GLOBAL quantities so every
-    shard builds consistent modes."""
+    asym_elasto_damage_model.cc:750-798) — note the reference's 2D path
+    attaches ONLY the rotation-like mode ("translation in x and y are
+    not set", cc:753); we build the full 3-mode basis, a valid superset.
+    ``center``/``scale`` must be GLOBAL quantities so every shard builds
+    consistent modes."""
     p = eng.plan
     bs = eng.bs
     if bs != 2:

@@ -29,8 +29,9 @@ import numpy as np
 
 def slope_time(chain, args, x0, reps: Tuple[int, int] = (64, 2064)):
     """Seconds per iteration of ``chain(*args, x0, iters)`` (jitted,
-    ``iters`` static/int) via two chain lengths. The warmup call pays
-    the compile; the difference cancels dispatch round trips."""
+    ``iters`` a TRACED operand so all chain lengths share one compiled
+    executable) via two chain lengths. The warmup call pays the compile;
+    the difference cancels dispatch round trips."""
     x = chain(*args, x0, 2)
     float(np.asarray(x).ravel()[0])
 
@@ -60,7 +61,6 @@ def time_lane_kernels(eng, coeff_cells, *, dtype=None,
     Requires the engine's fused path; falls back to residual/tangent
     only when it is unavailable.
     """
-    import functools
 
     import jax.numpy as jnp
 
@@ -78,7 +78,7 @@ def time_lane_kernels(eng, coeff_cells, *, dtype=None,
     if eng._fused:
         cds = eng._fused_cds(coeff_cells, dt)
 
-        @functools.partial(jax.jit, static_argnums=(3,))
+        @jax.jit
         def chain_elem(e, cd, x, iters):
             def body(_, xx):
                 part = lane_fused_elem(
@@ -92,7 +92,7 @@ def time_lane_kernels(eng, coeff_cells, *, dtype=None,
 
             return jax.lax.fori_loop(0, iters, body, x)
 
-        @functools.partial(jax.jit, static_argnums=(2,))
+        @jax.jit
         def chain_ownref(e, x, iters):
             def body(_, xx):
                 return e._owner_refresh(
@@ -104,14 +104,14 @@ def time_lane_kernels(eng, coeff_cells, *, dtype=None,
         out["elem"] = slope_time(chain_elem, (eng, cds), u0, reps)
         out["ownref"] = slope_time(chain_ownref, (eng,), u0, reps)
 
-    @functools.partial(jax.jit, static_argnums=(3,))
+    @jax.jit
     def chain_res(e, c, x, iters):
         def body(_, xx):
             return xx * 0.9999 + e.residual(xx, c) * 1e-9
 
         return jax.lax.fori_loop(0, iters, body, x)
 
-    @functools.partial(jax.jit, static_argnums=(4,))
+    @jax.jit
     def chain_tan(e, c, ul, x, iters):
         def body(_, xx):
             return xx * 0.9999 + e.tangent_action(ul, c, xx) * 1e-9
@@ -133,8 +133,15 @@ def device_trace(path: Optional[str]):
     if not path:
         yield
         return
-    try:
-        with jax.profiler.trace(path):
-            yield
-    except Exception:
+    # guard only the profiler ENTRY — a body exception must propagate
+    # unwrapped (a bare try/except around the yield would make the
+    # generator yield twice when the body throws, and contextlib would
+    # mask the real exception with its own RuntimeError)
+    from contextlib import ExitStack
+
+    with ExitStack() as stack:
+        try:
+            stack.enter_context(jax.profiler.trace(path))
+        except Exception:
+            pass
         yield
