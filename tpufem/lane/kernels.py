@@ -184,13 +184,16 @@ def lane_gather_cm(values, starts, idx, *, wr: int, n_ch: int,
         ids = idx_ref[0].astype(jnp.int32)  # (V, K, L)
         w = win[:]
         for v in range(V):
-            for c in range(C):
-                acc = jnp.zeros((K, L), values.dtype)
-                for r in range(wr):
-                    acc = acc + jnp.where(
-                        ids[v] == r, w[c, r : r + 1, :], 0.0
+            accs = [jnp.zeros((K, L), values.dtype) for _ in range(C)]
+            # channel-invariant mask hoisted out of the c loop
+            for r in range(wr):
+                m = ids[v] == r
+                for c in range(C):
+                    accs[c] = accs[c] + jnp.where(
+                        m, w[c, r : r + 1, :], 0.0
                     )
-                o_ref[v * C + c, 0] = acc
+            for c in range(C):
+                o_ref[v * C + c, 0] = accs[c]
 
     return pl.pallas_call(
         kern,
@@ -239,15 +242,18 @@ def lane_scatter_cm(src, idx, *, k_out: int, n_ch: int,
     def kern(idx_ref, src_ref, o_ref):
         ids = idx_ref[0].astype(jnp.int32)  # (V, K, L)
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_out, L), 0)
-        for c in range(C):
-            acc = jnp.zeros((k_out, L), src.dtype)
-            for v in range(V):
-                sv = src_ref[v * C + c, 0]  # (K, L)
-                for k in range(K):
-                    acc = acc + jnp.where(
-                        iota == ids[v, k : k + 1, :], sv[k : k + 1, :], 0.0
+        accs = [jnp.zeros((k_out, L), src.dtype) for _ in range(C)]
+        for v in range(V):
+            svs = [src_ref[v * C + c, 0] for c in range(C)]  # (K, L)
+            # one one-hot per (v, k), shared by the C channels
+            for k in range(K):
+                m = iota == ids[v, k : k + 1, :]
+                for c in range(C):
+                    accs[c] = accs[c] + jnp.where(
+                        m, svs[c][k : k + 1, :], 0.0
                     )
-            o_ref[c, 0] = acc
+        for c in range(C):
+            o_ref[c, 0] = accs[c]
 
     return pl.pallas_call(
         kern,
@@ -318,26 +324,32 @@ def lane_pass_update(values, starts, idx, *, wrs, wg: int, shifts,
         for d in dmas:
             d.wait()
         ids = idx_ref[:, 0].astype(jnp.int32)  # (P, K, L)
-        for c in range(C):
-            acc = jnp.zeros((K, L), values.dtype)
-            for p in range(P):
+        accs = [jnp.zeros((K, L), values.dtype) for _ in range(C)]
+        for p in range(P):
+            ws = []
+            for c in range(C):
                 w = win[p, c]  # (wr_max, L)
                 if shifts[p] % L:
                     # pltpu.roll needs a non-negative shift; cyclic over
                     # the 128 lanes so mod is exact
                     w = pltpu.roll(w, np.int32(shifts[p] % L), 1)
-                for r in range(wrs[p]):
-                    acc = acc + jnp.where(
-                        ids[p] == r, w[r : r + 1, :], 0.0
+                ws.append(w)
+            # one compare per (p, r), shared by the C channels
+            for r in range(wrs[p]):
+                m = ids[p] == r
+                for c in range(C):
+                    accs[c] = accs[c] + jnp.where(
+                        m, ws[c][r : r + 1, :], 0.0
                     )
+        for c in range(C):
             base = base_ref[c, 0]  # (wg, L)
             if head:
                 o_ref[c, 0] = jnp.concatenate(
-                    [base[:K] + acc, base[K:]], axis=0
+                    [base[:K] + accs[c], base[K:]], axis=0
                 )
             else:
                 o_ref[c, 0] = jnp.concatenate(
-                    [base[: wg - K], acc], axis=0
+                    [base[: wg - K], accs[c]], axis=0
                 )
 
     base_view = values.reshape(C, T, wg, L)
@@ -438,29 +450,41 @@ def lane_fused_elem(values, starts, idx, cell_data, elem_fn, *,
         u_blocks = []
         for w in wins:
             ww = w[:]
-            rows = []
+            rows = [None] * (nv * C)
+            # the (ids[v] == r) mask is channel-invariant: hoist it out
+            # of the c loop so each window row costs 1 compare + C
+            # select/adds instead of C of each
             for v in range(nv):
-                for c in range(C):
-                    acc = jnp.zeros((KB, L), dt)
-                    for r in range(wr):
-                        acc = acc + jnp.where(
-                            ids[v] == r, ww[c, r : r + 1, :], 0.0
+                accs = [jnp.zeros((KB, L), dt) for _ in range(C)]
+                for r in range(wr):
+                    m = ids[v] == r
+                    for c in range(C):
+                        accs[c] = accs[c] + jnp.where(
+                            m, ww[c, r : r + 1, :], 0.0
                         )
-                    rows.append(acc)
+                for c in range(C):
+                    rows[v * C + c] = accs[c]
             u_blocks.append(jnp.stack(rows))  # (nv*C, KB, L)
         ev = elem_fn(
             tuple(u_blocks), tuple(cd[0] for cd in cd_refs)
         )  # (nv*C, KB, L), row v*C+c
-        # scatter: per output channel c, accumulate rows
+        # scatter: accumulate rows; the (iota == ids) one-hot is shared
+        # across the C output channels
         iota = jax.lax.broadcasted_iota(jnp.int32, (wr, L), 0)
         ids_flat = ids.reshape(nv * KB, L)
-        for c in range(C):
-            acc = jnp.zeros((wr, L), dt)
-            evf = ev.reshape(nv, C, KB, L)[:, c].reshape(nv * KB, L)
-            for r in range(nv * KB):
-                acc = acc + jnp.where(
-                    iota == ids_flat[r : r + 1, :], evf[r : r + 1, :], 0.0
+        evf = [
+            ev.reshape(nv, C, KB, L)[:, c].reshape(nv * KB, L)
+            for c in range(C)
+        ]
+        accs = [jnp.zeros((wr, L), dt) for _ in range(C)]
+        for r in range(nv * KB):
+            m = iota == ids_flat[r : r + 1, :]
+            for c in range(C):
+                accs[c] = accs[c] + jnp.where(
+                    m, evf[c][r : r + 1, :], 0.0
                 )
+        for c in range(C):
+            acc = accs[c]
             if NKB == 1:
                 o_ref[0, c] = acc
             else:
