@@ -122,14 +122,104 @@ def test_distributed_facet_solve_matches_flat():
         assert np.abs(uu[:, 1] - eyy * V.dof_coords[:, 1]).max() < 1e-10
 
 
-def test_sharded_lane_engine_rejects_facets():
-    """ShardedLaneEngine does not assemble facet terms yet — it must
-    refuse loudly, never silently drop (the 'or raises' half of the
-    every-path contract)."""
-    import pytest
-
+def test_sharded_lane_engine_facet_residual():
+    """ShardedLaneEngine assembles facet terms (round-4): each exterior
+    facet is homed on its owner cell's shard; residual matches the flat
+    Assembler (the silent-drop contract's 'assembles correctly' half).
+    Deeper parity/solve tests live in tests/test_lane_sharded.py."""
     from tpufem.lane.sharded import ShardedLaneEngine
 
     mesh, V, F, bcs, _t = _traction_problem(4)
-    with pytest.raises(NotImplementedError):
-        ShardedLaneEngine(F, bcs, 2)
+    sh = ShardedLaneEngine(F, bcs, 2, interpret=True)
+    asm = Assembler(F, bcs)
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    r_ref = -np.asarray(asm.residual(jnp.asarray(u), {}))
+    free = np.asarray(asm.free_mask(jnp.float64))
+    b, _ = sh.residual_rhs(sh.to_lane(u), sh.prepare_coeffs({}))
+    np.testing.assert_allclose(
+        sh.from_lane(b), r_ref * free, rtol=0,
+        atol=1e-12 * np.abs(r_ref).max(),
+    )
+
+
+def test_assembled_matrix_includes_facet_hessian():
+    """matrix() and diagonal() carry the facet-term Hessian: for a
+    NONLINEAR facet energy the assembled operator must agree with the
+    (exact, JVP-based) tangent_action — the reference's Jacobian is
+    ufl.derivative of the FULL form including the ds term
+    (asym_ufl.py:83)."""
+    mesh = unit_square(5)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    right = locate_entities_boundary(
+        mesh, 1, lambda x: np.abs(x[:, 0] - 1) < 1e-12
+    )
+    stiff = Term(
+        integrand=lambda qp: linear_elastic_psi(qp.eps, E, NU), degree=1
+    )
+    # quadratic + cubic in u: nonzero, state-dependent facet Hessian
+    ft = FacetTerm(
+        integrand=lambda f: -1e3 * f.u[0] + 2e2 * jnp.dot(f.u, f.u)
+        + 50.0 * f.u[0] ** 2 * f.u[1],
+        degree=2, facets=right,
+    )
+    F = EnergyFunctional(V, [stiff], facet_terms=[ft])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    asm = Assembler(F, [DirichletBC(V, left, [0.0, 0.0])])
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.normal(size=V.n_dofs) * 1e-3)
+    A = asm.matrix(u, {})
+    free = np.asarray(asm.free_mask(jnp.float64))
+    for seed in range(3):
+        v = rng.normal(size=V.n_dofs) * free
+        av_ref = np.asarray(
+            asm.tangent_action(u, {}, jnp.asarray(v))
+        ) * free
+        av = np.asarray(A.matvec(jnp.asarray(v))) * free
+        assert np.abs(av - av_ref).max() < 1e-11 * np.abs(av_ref).max()
+    # diagonal matches the assembled matrix diagonal
+    d = np.asarray(asm.diagonal(u, {}))
+    dA = np.zeros(V.n_dofs)
+    eye = np.eye(1)
+    Ad = np.asarray(A.matvec(jnp.asarray(np.ones(V.n_dofs))))  # smoke
+    for i in rng.choice(np.nonzero(free)[0], size=12, replace=False):
+        ei = np.zeros(V.n_dofs); ei[i] = 1.0
+        dA[i] = float(np.asarray(A.matvec(jnp.asarray(ei)))[i])
+        assert abs(d[i] - dA[i]) < 1e-11 * max(abs(dA[i]), 1.0)
+
+
+def test_newton_quadratic_convergence_nonlinear_facet():
+    """Newton with the ASSEMBLED Jacobian on a nonlinear facet energy
+    converges quadratically (exact consistent tangent; previously the
+    facet block was quasi-Newton on the assembled path)."""
+    from tpufem.lane import LaneEngine
+
+    mesh = unit_square(6)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    right = locate_entities_boundary(
+        mesh, 1, lambda x: np.abs(x[:, 0] - 1) < 1e-12
+    )
+    stiff = Term(
+        integrand=lambda qp: linear_elastic_psi(qp.eps, E, NU), degree=1
+    )
+    ft = FacetTerm(
+        integrand=lambda f: -2e3 * f.u[0] + 1e5 * f.u[0] ** 2 * f.u[0],
+        degree=3, facets=right,
+    )
+    F = EnergyFunctional(V, [stiff], facet_terms=[ft])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    eng = LaneEngine(F, bcs, interpret=True)
+    cc = eng.prepare_coeffs({})
+    solve = eng.make_solver(SolverConfig(
+        newton_rtol=1e-12, cg_rtol=1e-14, cg_maxit=3000, newton_maxit=12
+    ))
+    u_lane, stats = solve(
+        jnp.asarray(eng.to_lane(np.zeros(V.n_dofs))), cc
+    )
+    assert stats["converged"]
+    # quadratic convergence: residual drops superlinearly once in the
+    # basin — from the first sub-1e-2-relative iterate, each step's
+    # relative residual is at most the square root... use the standard
+    # proxy: <= 5 Newton iterations to 1e-12 relative
+    assert stats["newton_iters"] <= 5, stats

@@ -261,3 +261,176 @@ def test_p2_solve_matches_single(engines_p2):
     du = sh.from_lane(u2) - np.asarray(single.from_lane(u1))
     scale = np.abs(np.asarray(single.from_lane(u1))).max()
     assert np.abs(du).max() < 1e-8 * scale
+
+
+@pytest.fixture(scope="module")
+def engines_facet():
+    """Facet-loaded (traction) problem: the sharded engine homes each
+    exterior facet on its owner cell's shard (reference surface loads
+    at every rank count, FEniCSx/...cc:589-608)."""
+    from tpufem.forms import linear_elastic_psi
+    from tpufem.forms.form import FacetTerm
+    from tpufem.mesh.topology import locate_entities_boundary
+
+    mesh = unit_square(12)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    t = Term(lambda qp: linear_elastic_psi(qp.eps, E, NU), 1)
+    right = locate_entities_boundary(
+        mesh, 1, lambda x: np.abs(x[:, 0] - 1) < 1e-12
+    )
+    # nonlinear in u (quadratic) so the facet tangent is exercised too
+    ft = FacetTerm(
+        lambda f: -1e3 * f.u[0] + 2.0 * jnp.dot(f.normal, f.u)
+        + 5e2 * f.u[0] * f.u[1],
+        2, facets=right,
+    )
+    F = EnergyFunctional(V, [t], facet_terms=[ft])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    single = LaneEngine(F, bcs, interpret=True)
+    sharded = ShardedLaneEngine(F, bcs, 8, interpret=True)
+    return single, sharded, V
+
+
+def test_facet_residual_matches_single(engines_facet):
+    single, sh, V = engines_facet
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    cs = single.prepare_coeffs({})
+    r1 = -np.asarray(single.from_lane(
+        single.residual(single.to_lane(u), cs)))
+    free1 = np.asarray(single.from_lane(single.free_lane))
+    csh = sh.prepare_coeffs({})
+    b2, _ = sh.residual_rhs(sh.to_lane(u), csh)
+    want = r1 * free1
+    np.testing.assert_allclose(sh.from_lane(b2), want, rtol=0,
+                               atol=1e-12 * np.abs(want).max())
+
+
+def test_facet_tangent_matches_single(engines_facet):
+    single, sh, V = engines_facet
+    rng = np.random.default_rng(8)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    v = rng.normal(size=V.n_dofs)
+    free1 = np.asarray(single.from_lane(single.free_lane))
+    cs = single.prepare_coeffs({})
+    av1 = single.tangent_action(
+        single.to_lane(u), cs, single.to_lane(v * free1)
+    )
+    av1 = np.asarray(single.from_lane(av1)) * free1 + v * (1 - free1)
+    csh = sh.prepare_coeffs({})
+    av2 = sh.from_lane(
+        sh.tangent_action(sh.to_lane(u), csh, sh.to_lane(v))
+    )
+    np.testing.assert_allclose(av2, av1, rtol=0,
+                               atol=1e-11 * np.abs(av1).max())
+
+
+def test_facet_solve_matches_single(engines_facet):
+    single, sh, V = engines_facet
+    cfg = SolverConfig(newton_maxit=8, cg_maxit=3000)
+    cs = single.prepare_coeffs({})
+    u1, st1 = single.make_solver(cfg)(
+        single.to_lane(np.zeros(V.n_dofs)), cs
+    )
+    assert st1["converged"]
+    csh = sh.prepare_coeffs({})
+    u2, st2 = sh.make_solver(cfg)(sh.to_lane(np.zeros(V.n_dofs)), csh)
+    assert st2["converged"], st2
+    du = sh.from_lane(u2) - np.asarray(single.from_lane(u1))
+    scale = np.abs(np.asarray(single.from_lane(u1))).max()
+    assert np.abs(du).max() < 1e-8 * scale
+
+
+def test_degree2_coefficient_restriction():
+    """Coefficient on a P2 space, solution space P1: the dofmap-aligned
+    restriction must reproduce the single-device residual (degree>1
+    coefficients previously refused on the sharded engine)."""
+    mesh = unit_square(10)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    C2 = FunctionSpace.create(mesh, 2, bs=1)
+    d = np.zeros(C2.n_dofs)
+    d[(C2.dof_coords[:, 1] > 0.4) & (C2.dof_coords[:, 1] < 0.6)] = 0.7
+    t = Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), E, NU), 2)
+    F = EnergyFunctional(V, [t], [Coefficient("d", C2)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    single = LaneEngine(F, bcs, interpret=True)
+    sh = ShardedLaneEngine(F, bcs, 8, interpret=True)
+    rng = np.random.default_rng(9)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    cs = single.prepare_coeffs({"d": jnp.asarray(d)})
+    r1 = -np.asarray(single.from_lane(
+        single.residual(single.to_lane(u), cs)))
+    free1 = np.asarray(single.from_lane(single.free_lane))
+    csh = sh.prepare_coeffs({"d": jnp.asarray(d)})
+    b2, _ = sh.residual_rhs(sh.to_lane(u), csh)
+    want = r1 * free1
+    np.testing.assert_allclose(sh.from_lane(b2), want, rtol=0,
+                               atol=1e-12 * np.abs(want).max())
+
+
+def test_rbm_deflation_cuts_iterations():
+    """A problem class where RBM deflation measurably helps (VERDICT r3
+    item 6): a STIFF plate attached to a clamped edge through a SOFT
+    hinge strip (E ratio 1e4). The plate's near-rigid swing modes are
+    near-kernel; the two-level's coarse lattice is BC-masked at the
+    clamp, so its (masked) space cannot represent those rigid motions —
+    the exact V (V^T A V)^{-1} V^T correction removes them. Deflation
+    must cut CG iterations outright, and stay within 2x of
+    single-device SA-AMG (the round-2 parity criterion)."""
+    from tpufem.forms import linear_elastic_psi
+    from tpufem.forms.form import FacetTerm
+    from tpufem.mesh.topology import locate_entities_boundary
+
+    mesh = unit_square(16)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    ES = FunctionSpace.create(mesh, 1, bs=1)
+    # soft hinge strip x < 0.1, stiff plate beyond
+    Ev = np.where(ES.dof_coords[:, 0] < 0.1, 1.0e2, 1.0e6)
+    right = locate_entities_boundary(
+        mesh, 1, lambda x: np.abs(x[:, 0] - 1) < 1e-12
+    )
+    F = EnergyFunctional(
+        V,
+        [Term(lambda qp: linear_elastic_psi(qp.eps, qp.coeff("E"), NU),
+              1)],
+        [Coefficient("E", ES)],
+        facet_terms=[FacetTerm(
+            lambda f: -50.0 * f.u[1], 2, facets=right
+        )],
+    )
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    coeffs = {"E": jnp.asarray(Ev)}
+    sh = ShardedLaneEngine(F, bcs, 8, interpret=True)
+    csh = sh.prepare_coeffs(coeffs)
+    cfg = SolverConfig(newton_maxit=6, cg_maxit=6000,
+                       preconditioner="twolevel")
+    u_no, st_no = sh.make_solver(
+        cfg, cg_chunk=5, fine_coeffs=coeffs, rbm_deflation=False,
+    )(sh.to_lane(np.zeros(V.n_dofs)), csh)
+    assert st_no["converged"], st_no
+    u_rbm, st_rbm = sh.make_solver(
+        cfg, cg_chunk=5, fine_coeffs=coeffs, rbm_deflation=True,
+    )(sh.to_lane(np.zeros(V.n_dofs)), csh)
+    assert st_rbm["converged"], st_rbm
+    du = sh.from_lane(u_rbm) - sh.from_lane(u_no)
+    scale = np.abs(sh.from_lane(u_no)).max()
+    assert np.abs(du).max() < 1e-6 * scale, np.abs(du).max() / scale
+    # the point: deflation REDUCES iterations on this class
+    assert st_rbm["total_cg_iters"] < st_no["total_cg_iters"], (
+        st_rbm["total_cg_iters"], st_no["total_cg_iters"],
+    )
+    # round-2 parity criterion: within 2x of single-device SA-AMG
+    single = LaneEngine(F, bcs, interpret=True)
+    cfg_amg = SolverConfig(newton_maxit=6, cg_maxit=6000,
+                           preconditioner="amg")
+    _, st_amg = single.make_solver(cfg_amg, cg_chunk=5)(
+        single.to_lane(np.zeros(V.n_dofs)),
+        single.prepare_coeffs(coeffs),
+    )
+    assert st_amg["converged"], st_amg
+    assert st_rbm["total_cg_iters"] <= 2 * st_amg["total_cg_iters"] + 50, (
+        st_rbm["total_cg_iters"], st_amg["total_cg_iters"],
+    )

@@ -161,6 +161,12 @@ class LaneEngine:
         self._fused_kb = 0 if p.kc <= 16 else next(
             (d for d in (16, 8, 32, 24, 48, 64) if p.kc % d == 0), 0
         )
+        # sub-block size override (autotuning knob; see bench.py)
+        import os as _os
+
+        _kb = _os.environ.get("TPUFEM_FUSED_KB")
+        if _kb and p.kc % int(_kb) == 0:
+            self._fused_kb = int(_kb)
         if self._fused:
             M = p.G * p.kc * N_LANES
             dN_h, w_h, xq_h = self._geom_host
@@ -360,6 +366,11 @@ class LaneEngine:
                     np.concatenate(ssrc_list).astype(np.int32)),
                 x_f=self._store(np.asarray(x_f)),
                 nrm=self._store(np.asarray(nrm)),
+                # per-facet weight: 1 for real facets; the sharded
+                # composition pads per-shard facet tables to a common
+                # shape with weight-0 rows (their contributions vanish
+                # before the scatter)
+                fwt=self._store(np.ones(len(fd))),
                 **({"ucpos": jnp.asarray(ucpos)}
                    if ucpos is not None else {}),
             ))
@@ -406,6 +417,8 @@ class LaneEngine:
                     return jnp.diagonal(jax.hessian(fn)(ue, xe, ne))
 
                 g = jax.vmap(hd)(u_f, x_f, nm)
+            if "fwt" in arrs:
+                g = g * arrs["fwt"].astype(dt)[:, None]
             of = of.at[arrs["spos"]].add(g.reshape(-1)[arrs["ssrc"]])
         return of.reshape(shp)
 

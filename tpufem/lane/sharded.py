@@ -53,13 +53,63 @@ def _index0(tree):
     return jax.tree.map(lambda x: x[0], tree)
 
 
+def _pad_facet_blocks(engines, facet_nreal):
+    """Pad per-shard facet tables to common shapes so they stack along
+    the shard axis. Every block gets >=1 trailing zero-weight row (fwt
+    masks its contribution before the scatter); padded ``spos`` entries
+    add that row's zero value to slot 0, so they are exact no-ops."""
+    n_blocks = len(engines[0].facet_arrays)
+    for i in range(n_blocks):
+        arrs = [e.facet_arrays[i] for e in engines]
+        ndf = arrs[0]["upos"].shape[1]
+        nf_c = max(a["upos"].shape[0] for a in arrs) + 1
+        tot_c = max(a["spos"].shape[0] for a in arrs)
+        has_uc = all("ucpos" in a for a in arrs)
+        for s, (e, a) in enumerate(zip(engines, arrs)):
+            nf = a["upos"].shape[0]
+            pad_n = nf_c - nf
+
+            def rep0(x):
+                x = np.asarray(x)
+                return np.concatenate(
+                    [x, np.repeat(x[:1], pad_n, axis=0)], axis=0
+                )
+
+            new = dict(
+                upos=jnp.asarray(rep0(a["upos"])),
+                x_f=jnp.asarray(rep0(a["x_f"])),
+                nrm=jnp.asarray(rep0(a["nrm"])),
+                fwt=jnp.asarray(
+                    (np.arange(nf_c) < facet_nreal[s][i]).astype(
+                        np.asarray(a["fwt"]).dtype
+                    )
+                ),
+            )
+            if has_uc:
+                new["ucpos"] = jnp.asarray(rep0(a["ucpos"]))
+            spos = np.asarray(a["spos"])
+            ssrc = np.asarray(a["ssrc"])
+            pad_t = tot_c - len(spos)
+            # padded scatter entries: add the zero-weight last row's
+            # first component to flat slot 0
+            new["spos"] = jnp.asarray(np.concatenate(
+                [spos, np.zeros(pad_t, spos.dtype)]))
+            new["ssrc"] = jnp.asarray(np.concatenate(
+                [ssrc,
+                 np.full(pad_t, (nf_c - 1) * ndf, ssrc.dtype)]))
+            e.facet_arrays[i] = new
+
+
 class ShardedLaneEngine:
     """LaneEngine sharded over an n-device 1-D mesh.
 
-    Supports the lane engine's flagship configuration: a degree-1
-    space on simplices with degree <=1 coefficients and cell terms only
-    (the reference workload shape). Other configurations use
-    parallel.DistributedProblem.
+    Supports the lane engine's configurations on simplices: any space
+    degree the lane engine takes, coefficients of any degree (dofmap-
+    aligned restriction), and facet (ds-measure) terms — each exterior
+    facet homed on its owner cell's shard with exact tangents (the
+    reference assembles surface tractions at every rank count,
+    FEniCSx/mechanic2d/asym_elasto_damage_model.cc:589-608). Other
+    configurations use parallel.DistributedProblem.
     """
 
     def __init__(
@@ -75,13 +125,6 @@ class ShardedLaneEngine:
     ):
         space = functional.space
         mesh = space.mesh
-        if functional.facet_terms:
-            raise NotImplementedError("sharded lane engine: cell terms only")
-        for c in functional.coefficients:
-            if c.space.element.degree > 1:
-                raise NotImplementedError(
-                    "sharded lane engine: coefficient degree <= 1"
-                )
         self.functional = functional
         self.space = space
         self.bs = bs = space.bs
@@ -248,6 +291,68 @@ class ShardedLaneEngine:
         self.coeff_restrict: Dict[str, list] = {
             c.name: [] for c in functional.coefficients
         }
+        # --- facet (ds-measure) terms: home each exterior facet on its
+        # owner cell's shard (every facet dof is then locally present —
+        # owner or copy — so contributions ride the same owner-sum/
+        # refresh + cross-device halo as cell terms; the scheme of
+        # parallel.dist._build_facet_shards applied to the lane layout).
+        # Reference parity: surface tractions are assembled at every
+        # rank count (FEniCSx/mechanic2d/asym_elasto_damage_model.cc:
+        # 589-608, the ds measure at asym_ufl.py:81).
+        facet_sub = None
+        facet_nreal = None  # per shard, per block: # real facets
+        if functional.facet_terms:
+            from tpufem.forms.form import FacetTerm
+            from tpufem.mesh.topology import build_entities, facet_to_cells
+
+            pfacets, _ = build_entities(mesh, mesh.dim - 1)
+            indptr, cell_ids = facet_to_cells(mesh)
+            nvf = pfacets.shape[1]
+            facet_sub = [[] for _ in range(S)]
+            facet_nreal = [[] for _ in range(S)]
+
+            def _enc(loc_sorted, nvl):
+                e = np.zeros(len(loc_sorted), np.int64)
+                for col in range(loc_sorted.shape[1]):
+                    e = e * nvl + loc_sorted[:, col]
+                return e
+
+            # submesh facet tables keyed by sorted local vertex tuple
+            sub_keys = []
+            for s in range(S):
+                sfacets, _ = build_entities(submeshes[s], mesh.dim - 1)
+                enc = _enc(np.sort(sfacets, axis=1),
+                           len(self.verts_g[s]))
+                order = np.argsort(enc, kind="stable")
+                sub_keys.append((enc[order], order))
+            for ft in functional.facet_terms:
+                fidx = np.asarray(ft.facets, np.int64)
+                fowner = cell_ids[indptr[fidx]]
+                fshard = cell_part[fowner]
+                for s in range(S):
+                    sel = fidx[fshard == s]
+                    if len(sel) == 0:
+                        # zero-weight dummy keeps the block structure
+                        # common across shards (weights set below)
+                        facet_sub[s].append(FacetTerm(
+                            ft.integrand, ft.degree,
+                            np.zeros(1, np.int64)))
+                        facet_nreal[s].append(0)
+                        continue
+                    # parent facet -> submesh facet id via the sorted
+                    # local vertex tuple (verts_g is sorted)
+                    loc = np.searchsorted(self.verts_g[s], pfacets[sel])
+                    enc = _enc(np.sort(loc, axis=1),
+                               len(self.verts_g[s]))
+                    enc_s, order = sub_keys[s]
+                    pos = np.searchsorted(enc_s, enc)
+                    assert pos.max() < len(enc_s) and (
+                        enc_s[pos] == enc
+                    ).all(), "facet missing from owner-cell submesh"
+                    facet_sub[s].append(FacetTerm(
+                        ft.integrand, ft.degree, order[pos]))
+                    facet_nreal[s].append(len(sel))
+
         engines = []
         for s in range(S):
             sm = submeshes[s]
@@ -255,20 +360,24 @@ class ShardedLaneEngine:
             subcoeffs = []
             for c in functional.coefficients:
                 deg, cb = c.space.element.degree, c.space.bs
-                subcoeffs.append(
-                    Coefficient(c.name, FunctionSpace.create(sm, deg, bs=cb))
-                )
-                # degree-1 coefficients live on mesh VERTICES (the
-                # parent space may be higher degree); cell-wise (DG0)
-                # coefficients restrict by cell
-                base = (
-                    self.verts_g[s] if deg == 1 else self.cells_g[s]
-                ).astype(np.int64)
+                c_sub = FunctionSpace.create(sm, deg, bs=cb)
+                subcoeffs.append(Coefficient(c.name, c_sub))
+                # local coefficient scalar dof -> global, by dofmap
+                # alignment over the shard's cells (same element, same
+                # local dof order, same cell order) — degree-agnostic:
+                # vertex dofs (P1), edge/face dofs (P2+) and cell dofs
+                # (DG0) are all covered by the same construction
+                l2g_c = np.full(c_sub.n_scalar_dofs, -1, dtype=np.int64)
+                l2g_c[np.asarray(c_sub.dofmap).ravel()] = np.asarray(
+                    c.space.dofmap
+                )[self.cells_g[s]].ravel()
+                assert (l2g_c >= 0).all(), "coeff dof not covered"
                 self.coeff_restrict[c.name].append(
-                    (base[:, None] * cb + np.arange(cb)).ravel()
+                    (l2g_c[:, None] * cb + np.arange(cb)).ravel()
                 )
             f_s = EnergyFunctional(
-                subspace, functional.terms, subcoeffs
+                subspace, functional.terms, subcoeffs,
+                facet_terms=(facet_sub[s] if facet_sub else ()),
             )
             eng = LaneEngine(
                 f_s, (), wg_own=wg_own, plan=plans[s], interpret=interpret
@@ -287,6 +396,8 @@ class ShardedLaneEngine:
             )
             eng.owned_w = jnp.asarray(ow[None])
             engines.append(eng)
+        if facet_sub is not None:
+            _pad_facet_blocks(engines, facet_nreal)
         self._engines = engines
         self._template = engines[0]
 
@@ -344,10 +455,11 @@ class ShardedLaneEngine:
             if vals[0] is None:
                 stacked[f] = None
             elif isinstance(vals[0], (list, tuple)):
-                stacked[f] = [
-                    jnp.stack([v[i] for v in vals])
-                    for i in range(len(vals[0]))
-                ]
+                # list of per-block arrays (or dicts of arrays, e.g.
+                # facet_arrays) — stack leaf-wise across shards
+                stacked[f] = jax.tree.map(
+                    lambda *a: jnp.stack(a), *[list(v) for v in vals]
+                )
             else:
                 stacked[f] = jnp.stack(vals)
         self.leaves = jax.device_put(stacked, sharding)
@@ -724,6 +836,37 @@ class ShardedLaneEngine:
 
         return power, precond_once, make_cg_tl
 
+    def _build_rbm_gram_prog(self):
+        """One shard_map program computing the full (K, K) RBM Gram
+        V^T A V under the halo'd tangent: K tangent actions and K*K
+        owned-weighted dots, psum-reduced, one host transfer."""
+        mesh = self.device_mesh
+        cross_sum, pdot = self._cross_sum, self._pdot
+
+        def gram_body(leaves, u, coeffs, send, recvp, free, V):
+            leaves, u, coeffs = _index0((leaves, u, coeffs))
+            send, recvp, free, V = _index0((send, recvp, free, V))
+            eng = self._local_engine(leaves)
+            Araw = eng.make_tangent(u, coeffs)
+            K = V.shape[0]
+            AV = []
+            for k in range(K):
+                av = Araw(V[k] * free)
+                av = cross_sum(eng, av, send, recvp)
+                AV.append(av * free + V[k] * (1.0 - free))
+            G = jnp.stack([
+                jnp.stack([pdot(eng, V[k], AV[l]) for l in range(K)])
+                for k in range(K)
+            ])
+            return G
+
+        return jax.jit(
+            shard_map(
+                gram_body, mesh=mesh, in_specs=(P(AXIS),) * 7,
+                out_specs=P(), check_vma=False,
+            )
+        )
+
     def make_solver(self, cfg: Optional[SolverConfig] = None, *,
                     cg_chunk: int = 100, fine_coeffs=None,
                     twolevel_nc=None, rbm_deflation: bool = True):
@@ -788,20 +931,17 @@ class ShardedLaneEngine:
         def _rbm_gram(u, coeff_cells, dtype):
             """(K, K) inverse Gram of the free-masked RBM modes under
             the current halo'd tangent — the per-Newton-iteration
-            deflation data (replicated)."""
-            V = _tl["geo"]["rbm_V"]
-            K = V.shape[1]
-            AV = [
-                self.tangent_action(
-                    u, coeff_cells, V[:, k].astype(dtype)
-                )
-                for k in range(K)
-            ]
-            G = np.array([
-                [float(self.dot(V[:, k].astype(dtype), AV[l]))
-                 for l in range(K)]
-                for k in range(K)
-            ])
+            deflation data (replicated). The whole Gram is one jitted
+            shard_map program (K tangent actions + K*K psum'd dots all
+            on device), so it costs ONE dispatch round trip instead of
+            3 + 9 host-synced calls."""
+            if "gram_prog" not in _tl:
+                _tl["gram_prog"] = self._build_rbm_gram_prog()
+            G = np.asarray(_tl["gram_prog"](
+                self.leaves, u, coeff_cells, self._send_idx,
+                self._recv_place, self._free(dtype),
+                _tl["geo"]["rbm_V"].astype(dtype),
+            ))
             G = (G + G.T) / 2
             return jnp.asarray(np.linalg.pinv(G), dtype=dtype)
 
