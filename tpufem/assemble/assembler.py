@@ -120,6 +120,7 @@ class Assembler:
         self._ell_cols_T = None
         self._pat_rows = None
         self._pat_cols = None
+        self._facet_mat_slots = []
 
     # -- helpers -------------------------------------------------------------
 
@@ -154,6 +155,32 @@ class Assembler:
             )
             self._pat_rows = jnp.asarray(pat.rows)
             self._pat_cols = jnp.asarray(pat.cols)
+            # facet-term Hessian slots: (facet, i, j) -> nnz slot. All
+            # facet dofs share the facet's owner cell, so every pair is
+            # in the cell sparsity; located by searchsorted on the
+            # sorted (row, col) keys. Makes the ASSEMBLED Jacobian
+            # exact for nonlinear facet energies (the reference's J is
+            # ufl.derivative of the FULL form incl. the ds term,
+            # asym_ufl.py:83); matrix-free tangent_action was already
+            # exact via JVP.
+            self._facet_mat_slots = []
+            if self._facet_fns:
+                rows = np.asarray(pat.rows, dtype=np.int64)
+                cols = np.asarray(pat.cols, dtype=np.int64)
+                key = rows * np.int64(self.n_dofs) + cols
+                order = np.argsort(key, kind="stable")
+                key_s = key[order]
+                for _fn, dofmap, _x, _n in self._facet_fns:
+                    dm = np.asarray(dofmap, dtype=np.int64)  # (nf, ndf)
+                    pk = (dm[:, :, None] * np.int64(self.n_dofs)
+                          + dm[:, None, :])
+                    pos = np.searchsorted(key_s, pk)
+                    assert (pos < len(key_s)).all() and (
+                        key_s[pos] == pk
+                    ).all(), "facet dof pair missing from sparsity"
+                    self._facet_mat_slots.append(
+                        jnp.asarray(order[pos].astype(np.int64))
+                    )
         return self._pattern
 
     # -- element-level batched kernels ----------------------------------------
@@ -245,12 +272,18 @@ class Assembler:
         semantics, FEniCSx/...cc:852-857). Columns for bc dofs are also
         zeroed (symmetric elimination) so CG keeps a SPD operator; the
         missing column contribution is restored by apply_lifting."""
-        # note: facet-term Hessians are not inserted here (zero for linear
-        # traction loads; the matrix-free tangent_action includes them
-        # exactly via JVP)
         pat = self.pattern
         em = self.element_matrices(u, coeffs, batch=batch)
         nnz_vals = self._nnz_plan.apply(em)
+        # facet-term Hessians (exact consistent tangent for nonlinear
+        # facet energies; zero rows for the reference's linear tractions)
+        for (fn, dofmap, x_f, nrm), slots in zip(
+            self._facet_fns, self._facet_mat_slots
+        ):
+            fh = jax.vmap(jax.hessian(fn), in_axes=(0, 0, 0))(
+                u[dofmap], x_f.astype(u.dtype), nrm.astype(u.dtype)
+            )  # (nf, ndf, ndf)
+            nnz_vals = nnz_vals.at[slots.ravel()].add(fh.ravel())
         rows = self._pat_rows
         cols = self._pat_cols
         if len(self.bc_dofs):
@@ -273,6 +306,14 @@ class Assembler:
         em = self.element_matrices(u, coeffs)
         ed = jnp.diagonal(em, axis1=0, axis2=1).T  # (ndofe, nc)
         diag = self._r_plan.apply(ed)
+        for fn, dofmap, x_f, nrm in self._facet_fns:
+            fh = jax.vmap(
+                lambda ue, xe, ne: jnp.diagonal(
+                    jax.hessian(fn)(ue, xe, ne)
+                ),
+                in_axes=(0, 0, 0),
+            )(u[dofmap], x_f.astype(u.dtype), nrm.astype(u.dtype))
+            diag = diag.at[dofmap.ravel()].add(fh.ravel())
         if len(self.bc_dofs):
             free = self.free_mask(diag.dtype)
             diag = diag * free + (1.0 - free)
