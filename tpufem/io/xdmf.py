@@ -8,6 +8,7 @@ the XDMF spec's second heavy-data format, readable by ParaView.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 from typing import Dict, Optional
 
@@ -32,7 +33,11 @@ def write_xdmf(
     mesh: Mesh,
     point_data: Optional[Dict[str, np.ndarray]] = None,
     cell_data: Optional[Dict[str, np.ndarray]] = None,
+    heavy: str = "hdf5",
 ) -> None:
+    """``heavy``: "hdf5" (default — one ``<stem>.h5`` via the pure-NumPy
+    writer in tpufem.io.hdf5, the reference's XDMF/HDF5 pairing) or
+    "binary" (one raw ``.bin`` sidecar per array)."""
     base = os.path.splitext(path)[0]
     stem = os.path.basename(base)
     cells = np.asarray(mesh.cells, dtype=np.int64)
@@ -43,14 +48,24 @@ def write_xdmf(
     pts = np.asarray(mesh.x, dtype=np.float64)
     gdim = pts.shape[1]
     geom_type = "XYZ" if gdim == 3 else "XY"
+    if heavy not in ("hdf5", "binary"):
+        raise ValueError(f"heavy={heavy!r}: 'hdf5' or 'binary'")
+    h5_data: Dict[str, np.ndarray] = {}
 
     def binref(name, arr, dtype, prec):
+        dims = " ".join(map(str, arr.shape))
+        num = "Float" if "float" in str(dtype) else "Int"
+        if heavy == "hdf5":
+            h5_data[name] = np.ascontiguousarray(arr, dtype=dtype)
+            return (
+                f'<DataItem Dimensions="{dims}" NumberType="{num}" '
+                f'Precision="{prec}" Format="HDF">'
+                f"{stem}.h5:/{name}</DataItem>"
+            )
         fn = f"{stem}_{name}.bin"
         np.ascontiguousarray(arr, dtype=dtype).tofile(
             os.path.join(os.path.dirname(path) or ".", fn)
         )
-        dims = " ".join(map(str, arr.shape))
-        num = "Float" if "float" in str(dtype) else "Int"
         return (
             f'<DataItem Dimensions="{dims}" NumberType="{num}" '
             f'Precision="{prec}" Format="Binary">{fn}</DataItem>'
@@ -92,6 +107,13 @@ def write_xdmf(
 </Domain>
 </Xdmf>
 """
+    if heavy == "hdf5":
+        from tpufem.io.hdf5 import write_hdf5
+
+        write_hdf5(
+            os.path.join(os.path.dirname(path) or ".", f"{stem}.h5"),
+            h5_data,
+        )
     with open(path, "w") as fh:
         fh.write(xml)
 
@@ -101,6 +123,18 @@ def write_xdmf(
 _TOPO_TO_CELL = {v.lower(): k for k, v in _XDMF_TOPO.items()}
 _VTK_TO_HEX = np.argsort(_HEX_TO_VTK)
 _VTK_TO_QUAD = np.argsort(_QUAD_TO_VTK)
+
+
+@_functools.lru_cache(maxsize=4)
+def _load_h5(path: str, _mtime: float):
+    from tpufem.io.hdf5 import read_hdf5
+
+    return read_hdf5(path)
+
+
+def _read_h5_cached(path: str):
+    """One parse per (path, mtime): several DataItems share the .h5."""
+    return _load_h5(os.path.abspath(path), os.path.getmtime(path))
 
 
 def _read_dataitem(item, base_dir: str) -> np.ndarray:
@@ -121,11 +155,16 @@ def _read_dataitem(item, base_dir: str) -> np.ndarray:
     if fmt == "binary":
         fn = (item.text or "").strip()
         arr = np.fromfile(os.path.join(base_dir, fn), dtype=dtype)
+    elif fmt in ("hdf", "hdf5"):
+        ref = (item.text or "").strip()
+        fn, _, dset = ref.partition(":")
+        arr = _read_h5_cached(os.path.join(base_dir, fn))[
+            dset.lstrip("/")
+        ].astype(dtype)
     elif fmt == "xml":
         arr = np.array((item.text or "").split(), dtype=dtype)
     else:
-        raise NotImplementedError(f"XDMF heavy-data format {fmt!r} "
-                                  "(HDF5 needs h5py, not in this image)")
+        raise NotImplementedError(f"XDMF heavy-data format {fmt!r}")
     return arr.reshape(dims) if dims else arr
 
 
