@@ -258,6 +258,110 @@ def _spill_pass(cand: np.ndarray, cur: np.ndarray, n_keys: int,
     return cur
 
 
+def _evict_copy_tail(cells, cell_key, node_key, row_in_bin, bin_of,
+                     lane_of, n_keys, target, cap, *,
+                     max_moves: int = 4096):
+    """Move a few cells out of bins whose UNIQUE-copy count exceeds
+    ``cap`` so the global copy window (wg_copy = padded max copies per
+    bin) drops a tier. The worst bin alone sets wg_copy for the whole
+    grid, and the fused gather/scatter and refresh kernels all scan
+    rows proportional to it — on a jittered polycrystal the max (33)
+    sits far above p99 (25), so one 8-row tier is bought by relocating
+    a handful of cells. Unlike the round-2 whole-tail squeeze (which
+    chased the mean and diverged), this only shaves the extreme tail:
+    destinations must have BOTH cell-load room (max load stays ==
+    target) and copy room (stay <= cap), so no new over-cap bin can
+    appear and the loop terminates. Returns the updated cell_key (a
+    copy) or None if the cap is infeasible within ``max_moves``."""
+    nc, nv = cells.shape
+    cell_key = np.asarray(cell_key).copy()
+    loads = np.bincount(cell_key, minlength=n_keys)
+    # per-(bin, foreign node) reference counts, via a sorted pair list
+    ck = np.repeat(cell_key, nv)
+    nd = cells.ravel()
+    foreign = node_key[nd] != ck
+    pair = ck[foreign] * np.int64(len(node_key)) + nd[foreign]
+    upair, pcount = np.unique(pair, return_counts=True)
+    refcnt = dict(zip(upair.tolist(), pcount.tolist()))
+    cpb = np.bincount(
+        (upair // len(node_key)), minlength=n_keys
+    )
+    over = np.nonzero(cpb > cap)[0]
+    if len(over) == 0:
+        return cell_key
+    # candidate destinations: cell room AND copy room
+    n_total = len(node_key)
+
+    def copies_of(cell, b):
+        """this cell's foreign (b, node) pairs."""
+        out = []
+        for v in range(nv):
+            n_ = cells[cell, v]
+            if node_key[n_] != b:
+                out.append(b * np.int64(n_total) + n_)
+        return out
+
+    moves = 0
+    order_c = np.argsort(cell_key, kind="stable")
+    cs = cell_key[order_c]
+    bstart = np.searchsorted(cs, np.arange(n_keys + 1))
+    for b in over:
+        members = list(order_c[bstart[b] : bstart[b + 1]])
+        while cpb[b] > cap and members:
+            # best cell to evict: most exclusive copies removed
+            best, best_gain = None, -1
+            for cell in members:
+                gain = sum(
+                    1 for p in copies_of(cell, b) if refcnt.get(p) == 1
+                )
+                if gain > best_gain:
+                    best, best_gain = cell, gain
+            if best is None or best_gain <= 0:
+                return None
+            members.remove(best)
+            # destination: prefer bins holding the cell's nodes, else
+            # nearby bins with room; must keep load<=target, copies<=cap
+            cands = [
+                int(node_key[cells[best, v]]) for v in range(nv)
+            ]
+            cands += [
+                int(k) for k in range(max(0, b - 2 * N_LANES),
+                                      min(n_keys, b + 2 * N_LANES + 1))
+            ]
+            dest = None
+            for d in cands:
+                if d == b or loads[d] >= target:
+                    continue
+                added = sum(
+                    1 for p_ in copies_of(best, d)
+                    if refcnt.get(p_, 0) == 0
+                )
+                if cpb[d] + added <= cap:
+                    dest = d
+                    break
+            if dest is None:
+                continue  # try evicting a different member
+            # apply: update refcounts / per-bin copy counts / loads
+            for p in copies_of(best, b):
+                refcnt[p] -= 1
+                if refcnt[p] == 0:
+                    del refcnt[p]
+                    cpb[b] -= 1
+            for p in copies_of(best, dest):
+                if refcnt.get(p, 0) == 0:
+                    cpb[dest] += 1
+                refcnt[p] = refcnt.get(p, 0) + 1
+            loads[b] -= 1
+            loads[dest] += 1
+            cell_key[best] = dest
+            moves += 1
+            if moves > max_moves:
+                return None
+        if cpb[b] > cap:
+            return None
+    return cell_key
+
+
 def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
                     wg_own: int = 32, min_G: int = 0, min_kc: int = 0,
                     min_wg_copy: int = 0,
@@ -412,40 +516,70 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     # (cell-bin-key, node) pairs where the node's home differs. Both
     # paths produce: the per-(cell, v) gather offsets ``off`` (own ->
     # row_in_bin, foreign -> wg_own + copy rank), and the unique copies
-    # sorted by (bin, node): ``ubin``/``un``/``copy_rank``.
+    # sorted by (bin, node): ``ubin``/``un``/``copy_rank``. Wrapped in
+    # a tier-down loop: when only an extreme tail of bins holds more
+    # copies than the next-lower 8-row tier, _evict_copy_tail relocates
+    # those few cells and the copies are recomputed — every kernel that
+    # scans the copy window (fused gather/scatter, refresh) pays per
+    # wg_copy row.
     node_key = bin_of * N_LANES + lane_of  # home bin key per node
-    copies = native.lane_copies(cells, cell_key, node_key, row_in_bin,
-                                wg_own)
-    if copies is not None:
-        off, ubin, un, copy_rank, max_per_bin = copies
-        wg_copy = _round_up(max(int(max_per_bin), 8), 8)
-        _tick("copies/native")
-    else:
-        ck = np.repeat(cell_key, nv)
-        nd = cells.ravel()
-        foreign = node_key[nd] != ck
-        # unique (cell-bin-key, node) pairs via a scalar int64 key —
-        # the axis=0 unique on a 2-column array is a void-dtype sort
-        # and is ~100x slower at millions of pairs
-        pair_key = ck[foreign] * np.int64(n) + nd[foreign]
-        _tick("copies/pairkey")
-        ukey, pair_inv_f = np.unique(pair_key, return_inverse=True)
-        _tick("copies/unique")
-        ubin = ukey // n
-        un = ukey % n
-        # rank of each unique copy within its bin
-        ustart = np.searchsorted(ubin, np.arange(G * N_LANES))
-        copy_rank = np.arange(len(ubin)) - ustart[ubin]
-        copies_per_bin = np.bincount(ubin, minlength=G * N_LANES)
-        wg_copy = _round_up(
-            max(int(copies_per_bin.max()) if len(ubin) else 8, 8), 8
+    for _tier in range(3):
+        copies = native.lane_copies(cells, cell_key, node_key,
+                                    row_in_bin, wg_own)
+        if copies is not None:
+            off, ubin, un, copy_rank, max_per_bin = copies
+            wg_copy = _round_up(max(int(max_per_bin), 8), 8)
+            _tick("copies/native")
+        else:
+            ck = np.repeat(cell_key, nv)
+            nd = cells.ravel()
+            foreign = node_key[nd] != ck
+            # unique (cell-bin-key, node) pairs via a scalar int64 key —
+            # the axis=0 unique on a 2-column array is a void-dtype sort
+            # and is ~100x slower at millions of pairs
+            pair_key = ck[foreign] * np.int64(n) + nd[foreign]
+            _tick("copies/pairkey")
+            ukey, pair_inv_f = np.unique(pair_key, return_inverse=True)
+            _tick("copies/unique")
+            ubin = ukey // n
+            un = ukey % n
+            # rank of each unique copy within its bin
+            ustart = np.searchsorted(ubin, np.arange(G * N_LANES))
+            copy_rank = np.arange(len(ubin)) - ustart[ubin]
+            copies_per_bin = np.bincount(ubin, minlength=G * N_LANES)
+            wg_copy = _round_up(
+                max(int(copies_per_bin.max()) if len(ubin) else 8, 8), 8
+            )
+            # local offset per (cell, v): own row_in_bin, wg_own+copy_rank
+            off = np.empty(nc * nv, dtype=np.int64)
+            own_sel = ~foreign
+            off[own_sel] = row_in_bin[nd[own_sel]]
+            off[foreign] = wg_own + copy_rank[pair_inv_f]
+            off = off.reshape(nc, nv)
+        cap = wg_copy - 8
+        if cap < 8 or wg_copy <= min_wg_copy or len(ubin) == 0:
+            break
+        cpb_now = np.bincount(ubin, minlength=n_keys)
+        excess = int(np.maximum(cpb_now - cap, 0).sum())
+        if excess == 0 or excess > max(64, int(0.002 * len(ubin))):
+            break  # tier already met, or not a tail — don't chase it
+        new_key = _evict_copy_tail(
+            cells, cell_key, node_key, row_in_bin, bin_of, lane_of,
+            n_keys, target0, cap,
         )
-        # local offset per (cell, v): own row_in_bin, wg_own+copy_rank
-        off = np.empty(nc * nv, dtype=np.int64)
-        own_sel = ~foreign
-        off[own_sel] = row_in_bin[nd[own_sel]]
-        off[foreign] = wg_own + copy_rank[pair_inv_f]
-        off = off.reshape(nc, nv)
+        if new_key is None:
+            break
+        cell_key = new_key
+        cell_lane = cell_key % N_LANES
+        cell_bin = cell_key // N_LANES
+        cpos = native.rank_by_key(cell_key, n_keys)
+        if cpos is None:
+            csort = np.argsort(cell_key, kind="stable")
+            key_sorted = cell_key[csort]
+            kstart = np.searchsorted(key_sorted, np.arange(n_keys))
+            cpos = np.empty(nc, dtype=np.int64)
+            cpos[csort] = np.arange(nc) - kstart[key_sorted]
+        _tick("copies/evict")
     wg_copy = max(wg_copy, min_wg_copy)
     wg = wg_own + wg_copy
     R = G * wg
