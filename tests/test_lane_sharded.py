@@ -160,6 +160,17 @@ def test_twolevel_rbm_deflation(engines):
     assert st_rbm["total_cg_iters"] <= st_no["total_cg_iters"] + 10, (
         st_rbm["total_cg_iters"], st_no["total_cg_iters"],
     )
+    # round-2 criterion: CG-iteration parity (2x band) with the single-
+    # device SA-AMG solve on the flagship problem
+    cfg_amg = SolverConfig(newton_maxit=8, cg_maxit=3000,
+                           preconditioner="amg")
+    _, st_amg = single.make_solver(cfg_amg, cg_chunk=10)(
+        single.to_lane(np.zeros(V.n_dofs)), single.prepare_coeffs(coeffs)
+    )
+    assert st_amg["converged"], st_amg
+    assert st_rbm["total_cg_iters"] <= 2 * st_amg["total_cg_iters"] + 40, (
+        st_rbm["total_cg_iters"], st_amg["total_cg_iters"],
+    )
 
 
 def test_twolevel_matches_single_device_twolevel(engines):
@@ -422,15 +433,16 @@ def test_rbm_deflation_cuts_iterations():
     assert st_rbm["total_cg_iters"] < st_no["total_cg_iters"], (
         st_rbm["total_cg_iters"], st_no["total_cg_iters"],
     )
-    # round-2 parity criterion: within 2x of single-device SA-AMG
+    # same-family parity: within 2x of the single-device twolevel solve
+    # on the same problem. (Single-device SA-AMG outright FAILS to
+    # converge here — the near-kernel swing modes defeat it — so the
+    # SA-AMG parity clause lives on the flagship problem in
+    # test_twolevel_rbm_deflation instead.)
     single = LaneEngine(F, bcs, interpret=True)
-    cfg_amg = SolverConfig(newton_maxit=6, cg_maxit=6000,
-                           preconditioner="amg")
-    _, st_amg = single.make_solver(cfg_amg, cg_chunk=5)(
-        single.to_lane(np.zeros(V.n_dofs)),
-        single.prepare_coeffs(coeffs),
-    )
-    assert st_amg["converged"], st_amg
-    assert st_rbm["total_cg_iters"] <= 2 * st_amg["total_cg_iters"] + 50, (
-        st_rbm["total_cg_iters"], st_amg["total_cg_iters"],
+    _, st_1 = single.make_solver(
+        cfg, cg_chunk=5, fine_coeffs=coeffs,
+    )(single.to_lane(np.zeros(V.n_dofs)), single.prepare_coeffs(coeffs))
+    assert st_1["converged"], st_1
+    assert st_rbm["total_cg_iters"] <= 2 * st_1["total_cg_iters"] + 50, (
+        st_rbm["total_cg_iters"], st_1["total_cg_iters"],
     )
