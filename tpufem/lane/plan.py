@@ -282,7 +282,31 @@ def _evict_copy_tail(cells, cell_key, node_key, row_in_bin, bin_of,
     foreign = node_key[nd] != ck
     pair = ck[foreign] * np.int64(len(node_key)) + nd[foreign]
     upair, pcount = np.unique(pair, return_counts=True)
-    refcnt = dict(zip(upair.tolist(), pcount.tolist()))
+    # refcounts via sorted-array lookups + a small overlay for pairs
+    # created by moves — a Python dict of the full pair set costs
+    # minutes on this VM's slow first-touch page faults at 12M cells
+    pcount = pcount.astype(np.int64)
+    overlay: dict = {}
+
+    def refget(p):
+        if p in overlay:
+            return overlay[p]
+        i = np.searchsorted(upair, p)
+        if i < len(upair) and upair[i] == p:
+            return int(pcount[i])
+        return 0
+
+    def refadd(p, dv):
+        if p in overlay:
+            overlay[p] += dv
+            return overlay[p]
+        i = np.searchsorted(upair, p)
+        if i < len(upair) and upair[i] == p:
+            pcount[i] += dv
+            return int(pcount[i])
+        overlay[p] = dv
+        return dv
+
     cpb = np.bincount(
         (upair // len(node_key)), minlength=n_keys
     )
@@ -312,7 +336,7 @@ def _evict_copy_tail(cells, cell_key, node_key, row_in_bin, bin_of,
             best, best_gain = None, -1
             for cell in members:
                 gain = sum(
-                    1 for p in copies_of(cell, b) if refcnt.get(p) == 1
+                    1 for p in copies_of(cell, b) if refget(p) == 1
                 )
                 if gain > best_gain:
                     best, best_gain = cell, gain
@@ -334,7 +358,7 @@ def _evict_copy_tail(cells, cell_key, node_key, row_in_bin, bin_of,
                     continue
                 added = sum(
                     1 for p_ in copies_of(best, d)
-                    if refcnt.get(p_, 0) == 0
+                    if refget(p_) == 0
                 )
                 if cpb[d] + added <= cap:
                     dest = d
@@ -343,14 +367,11 @@ def _evict_copy_tail(cells, cell_key, node_key, row_in_bin, bin_of,
                 continue  # try evicting a different member
             # apply: update refcounts / per-bin copy counts / loads
             for p in copies_of(best, b):
-                refcnt[p] -= 1
-                if refcnt[p] == 0:
-                    del refcnt[p]
+                if refadd(p, -1) == 0:
                     cpb[b] -= 1
             for p in copies_of(best, dest):
-                if refcnt.get(p, 0) == 0:
+                if refadd(p, 1) == 1:
                     cpb[dest] += 1
-                refcnt[p] = refcnt.get(p, 0) + 1
             loads[b] -= 1
             loads[dest] += 1
             cell_key[best] = dest
