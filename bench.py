@@ -256,6 +256,14 @@ def _bench_unstructured(n: int = 1024, *, jitter: bool = True):
         float(np.asarray(xx).ravel()[0])
         return time.perf_counter() - t0
 
+    def best(r, k=3):
+        # the tunnel round trip varies by SECONDS run to run; min-of-k
+        # per endpoint is the right estimator for additive >=0 noise.
+        # r03's 789-vs-1280 MDoF/s "discrepancy" was exactly this: a
+        # single (64, 2064) slope carries ~5 s of signal against
+        # multi-second RTT jitter (benchmarks/reconcile_bench.py)
+        return min(run(r) for _ in range(k))
+
     # kernel-only device times (PROF_KERNEL analog): the fused element
     # kernel alone + the owner/refresh pass kernels
     kernel_only = {}
@@ -294,11 +302,10 @@ def _bench_unstructured(n: int = 1024, *, jitter: bool = True):
         object.__setattr__(eng32, "_fused", fused)
         x = chain(eng32, cc, u0, 2)
         float(np.asarray(x).ravel()[0])
-        # ~2000-iteration difference: the tunnel round trip is 2-3 s
-        # and varies by seconds, so the device-work delta must
-        # dominate it
-        ta, tb = run(64), run(2064)
-        dt = max(tb - ta, 1e-9) / 2000
+        # ~8000-iteration difference (~20 s of device work) so RTT
+        # jitter is a percent-level error, min-of-3 per endpoint
+        ta, tb = best(64), best(8064)
+        dt = max(tb - ta, 1e-9) / 8000
         r_p = ndofs / dt / 1e6
         path = "fused" if fused else "staged"
         print(f"unstructured[{kind}] residual ({path}): "
