@@ -149,6 +149,14 @@ class LaneEngine:
         # streamed block-wise into lane_fused_elem (gather + physics +
         # scatter in one HBM pass — the per-iteration hot path)
         self._fused = bool(fused) and self._fast_fn is not None
+        # fused gate: the per-grid-step cell-data block (Dg, kb, 128)
+        # must fit VMEM next to the solution windows and the unrolled
+        # physics temporaries. Q2 hex (Dg ~ 2300 rows) exceeds it —
+        # it runs the specialized STAGED path instead (still far from
+        # the scalarized generic path it used to take)
+        if (self._fused and self._mq is not None
+                and self._mq["nq"] * p.nv > 160):
+            self._fused = False
         self.fused_geom = None
         self._elem_grad_block = self._elem_jvp_block = None
         # cap the per-grid-step cell block: big bins (3D: kc=192) make
@@ -589,8 +597,12 @@ class LaneEngine:
         qpts, qw = quadrature(mesh.cell_type, qdeg)
         nq = len(qw)
         nv = self.plan.nv
-        if nq * nv > 160:  # Q2 hex etc.: generic path
-            return None
+        # no upper size guard: Q2 hex (nq*nv = 729) runs this path too —
+        # the precomputed dN tables stream from HBM on the staged
+        # reduced kernels; only the FUSED kernel is gated (its per-bin
+        # cell-data block must fit VMEM, see __init__). The reference's
+        # own H1 generic collection is 2.7x slower than specialized
+        # kernels (doc.tex:1587-1590) — this is the analog fix.
         Nf = np.asarray(felem.tabulate(qpts), np.float64)  # (nq, nv)
         dNf = np.asarray(felem.tabulate_grad(qpts), np.float64)
         gelem = element(mesh.cell_type, 1)

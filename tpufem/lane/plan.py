@@ -325,13 +325,49 @@ def _evict_copy_tail(cells, cell_key, node_key, row_in_bin, bin_of,
                 out.append(b * np.int64(n_total) + n_)
         return out
 
-    moves = 0
+    moves = [0]
+
+    def find_dest(cell, b):
+        """Bin with cell-load room and copy room for ``cell``. Local
+        candidates first (shared copies); falls back to ANY room bin —
+        utilization sits near 99.8% after the spill, so local load
+        room is scarce, and distant homes are legal (their copies ride
+        the flat tail path exactly like spill teleports)."""
+        cands = [int(node_key[cells[cell, v]]) for v in range(nv)]
+        cands += [
+            int(k) for k in range(max(0, b - 2 * N_LANES),
+                                  min(n_keys, b + 2 * N_LANES + 1))
+        ]
+        cands += np.nonzero(loads < target)[0].tolist()
+        for d in cands:
+            if d == b or loads[d] >= target:
+                continue
+            added = sum(
+                1 for p_ in copies_of(cell, d) if refget(p_) == 0
+            )
+            if cpb[d] + added <= cap:
+                return d
+        return None
+
+    def apply_move(cell, b, dest):
+        for p in copies_of(cell, b):
+            if refadd(p, -1) == 0:
+                cpb[b] -= 1
+        for p in copies_of(cell, dest):
+            if refadd(p, 1) == 1:
+                cpb[dest] += 1
+        loads[b] -= 1
+        loads[dest] += 1
+        cell_key[cell] = dest
+        moves[0] += 1
+
     order_c = np.argsort(cell_key, kind="stable")
     cs = cell_key[order_c]
     bstart = np.searchsorted(cs, np.arange(n_keys + 1))
     for b in over:
         members = list(order_c[bstart[b] : bstart[b + 1]])
-        while cpb[b] > cap and members:
+        stuck = False
+        while cpb[b] > cap and members and not stuck:
             # best cell to evict: most exclusive copies removed
             best, best_gain = None, -1
             for cell in members:
@@ -340,44 +376,57 @@ def _evict_copy_tail(cells, cell_key, node_key, row_in_bin, bin_of,
                 )
                 if gain > best_gain:
                     best, best_gain = cell, gain
-            if best is None or best_gain <= 0:
-                return None
-            members.remove(best)
-            # destination: prefer bins holding the cell's nodes, else
-            # nearby bins with room; must keep load<=target, copies<=cap
-            cands = [
-                int(node_key[cells[best, v]]) for v in range(nv)
-            ]
-            cands += [
-                int(k) for k in range(max(0, b - 2 * N_LANES),
-                                      min(n_keys, b + 2 * N_LANES + 1))
-            ]
-            dest = None
-            for d in cands:
-                if d == b or loads[d] >= target:
+            if best is not None and best_gain > 0:
+                members.remove(best)
+                dest = find_dest(best, b)
+                if dest is None:
+                    continue  # try a different member
+                apply_move(best, b, dest)
+                if moves[0] > max_moves:
+                    return None
+                continue
+            # group move: every remaining copy is SHARED by >=2 homed
+            # cells, so no single move sheds a unique. Pick the foreign
+            # node with the fewest referencing cells and move them ALL
+            # (each to its own destination) — the copy disappears when
+            # the last reference leaves.
+            lo = np.searchsorted(upair, b * np.int64(n_total))
+            hi = np.searchsorted(upair, (b + 1) * np.int64(n_total))
+            cand_nodes = sorted(
+                [(int(pcount[i]), int(upair[i] % n_total))
+                 for i in range(lo, hi) if pcount[i] > 0]
+                + [(v, int(k % n_total))
+                   for k, v in overlay.items()
+                   if v > 0 and k // n_total == b]
+            )
+            stuck = True
+            for rc, nd_ in cand_nodes:
+                if rc > 4:
+                    break  # moving >4 cells for one copy isn't worth it
+                movers = [
+                    c for c in members
+                    if any(cells[c, v] == nd_ for v in range(nv))
+                ]
+                if len(movers) != rc:
                     continue
-                added = sum(
-                    1 for p_ in copies_of(best, d)
-                    if refget(p_) == 0
-                )
-                if cpb[d] + added <= cap:
-                    dest = d
+                dests = []
+                ok = True
+                for c in movers:
+                    d = find_dest(c, b)
+                    if d is None:
+                        ok = False
+                        break
+                    # apply immediately so the next mover's feasibility
+                    # sees updated counts (rolled back is not needed:
+                    # each individual move keeps all invariants)
+                    apply_move(c, b, d)
+                    dests.append((c, d))
+                    members.remove(c)
+                if ok and moves[0] <= max_moves:
+                    stuck = False
                     break
-            if dest is None:
-                continue  # try evicting a different member
-            # apply: update refcounts / per-bin copy counts / loads
-            for p in copies_of(best, b):
-                if refadd(p, -1) == 0:
-                    cpb[b] -= 1
-            for p in copies_of(best, dest):
-                if refadd(p, 1) == 1:
-                    cpb[dest] += 1
-            loads[b] -= 1
-            loads[dest] += 1
-            cell_key[best] = dest
-            moves += 1
-            if moves > max_moves:
-                return None
+                if moves[0] > max_moves:
+                    return None
         if cpb[b] > cap:
             return None
     return cell_key
@@ -435,7 +484,11 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
         for j in range(N_LANES):
             lane_of[by_x[bounds[j] : bounds[j + 1]]] = j
     # rank within lane by (z,) y, then x for ties — spatially coherent
-    # bins along the strip/tile column
+    # bins along the strip/tile column. (A Morton/Z-order intra-lane
+    # key was tried for 3D — cube-ish bins DO cut total copies ~13%,
+    # but they scramble the (lane-shift, bin-shift) structure the pass
+    # kernels rely on: 49 -> 72 passes and 2.7x the owner window rows
+    # on the 2M-DoF tet box. Scanline order stays.)
     keys = (x[:, 0], x[:, 1]) + ((x[:, 2],) if x.shape[1] > 2 else ())
     order = np.lexsort(keys + (lane_of,))
     rank = np.empty(n, dtype=np.int64)
