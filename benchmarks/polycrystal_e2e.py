@@ -34,9 +34,14 @@ def main():
     if mixed:
         jax.config.update("jax_enable_x64", True)
 
+    import os
+
     t0 = time.perf_counter()
     res = polycrystal.run(
         n,
+        # r4: wg_own=32 is the measured-fastest lane config (fewest
+        # owner/refresh passes; mask-shared kernels + 24-copy tier)
+        wg_own=int(os.environ.get("WGOWN", "32")),
         solver=SolverConfig(
             cg_rtol=rtol, newton_rtol=nrtol, cg_maxit=30000,
             preconditioner="twolevel",

@@ -597,7 +597,11 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
     # scans the copy window (fused gather/scatter, refresh) pays per
     # wg_copy row.
     node_key = bin_of * N_LANES + lane_of  # home bin key per node
-    for _tier in range(3):
+    # tiers beyond the first measured within the schedule-noise band
+    # (wg 56 vs 64: 2.35 vs 2.18-2.31 ms on the 2.1M polycrystal) but
+    # cost minutes of host time at 12M cells — one tier by default
+    _evict_tiers = int(os.environ.get("TPUFEM_EVICT_TIERS", "1"))
+    for _tier in range(1 + _evict_tiers):
         copies = native.lane_copies(cells, cell_key, node_key,
                                     row_in_bin, wg_own)
         if copies is not None:
@@ -630,6 +634,9 @@ def build_lane_plan(mesh_x: np.ndarray, cells: np.ndarray, *,
             off[own_sel] = row_in_bin[nd[own_sel]]
             off[foreign] = wg_own + copy_rank[pair_inv_f]
             off = off.reshape(nc, nv)
+        if _tier >= _evict_tiers:
+            break  # last iteration recomputes copies only (an eviction
+            # here would leave off/ubin stale vs the moved cells)
         cap = wg_copy - 8
         if cap < 8 or wg_copy <= min_wg_copy or len(ubin) == 0:
             break
