@@ -116,6 +116,82 @@ def gold(n):
              res_norms=np.asarray(res.residual_norms))
 
 
+def gold_lu(n):
+    """f64 gold via sparse-LU DIRECT Newton on the CPU: exact inner
+    solves (machine precision), so the gold's own error is pure Newton
+    truncation at rtol 1e-13 — no Krylov/pc uncertainty. (The AMG-CG
+    gold stalls at rtol 1e-13 on this problem: the damage band's
+    near-zero-stiffness strips defeat it.)"""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from tpufem.assemble import Assembler
+    from tpufem.la.amg import ell_to_scipy
+
+    t0 = time.perf_counter()
+    mesh, V, F, bcs, coeffs, d, E_cell = _problem(n)
+    print(f"setup {time.perf_counter()-t0:.0f}s, "
+          f"{V.n_dofs/1e6:.2f}M dofs", flush=True)
+    asm = Assembler(F, bcs)
+    batch = 262144
+    free = np.asarray(asm.free_mask(jnp.float64))
+    import os
+
+    if os.environ.get("GOLD_INIT") == "mixed":
+        # Newton POLISH of the mixed TPU solution: with exact LU steps
+        # from the candidate, |u_mixed - u_polished| directly measures
+        # the mixed solve's distance to the true root (the from-zero
+        # gold's early trajectory matches bitwise — see STATUS — but
+        # converges only ~6x/Newton through the piecewise law's branch
+        # flips, too slow for machine precision within the round)
+        u = np.load(f"/tmp/poly_mixed_{n}.npz")["u"].astype(np.float64)
+        r0 = 2.790740e7  # from-zero r0 of this problem (for rel prints)
+    else:
+        u = np.zeros(V.n_dofs)
+        # start from the BC-satisfying iterate
+        u = np.asarray(asm.set_bc(jnp.asarray(u)))
+        r0 = None
+    for it in range(1, 21):
+        t1 = time.perf_counter()
+        b = np.asarray(asm.lifted_rhs(jnp.asarray(u), coeffs))
+        rn = float(np.linalg.norm(b * free))
+        if r0 is None:
+            r0 = rn
+        print(f"gold-lu Newton {it}: |b| = {rn:.6e} rel "
+              f"{rn/r0:.3e} ({time.perf_counter()-t1:.0f}s rhs)",
+              flush=True)
+        # save EVERY iterate (the factorizations are minutes each; a
+        # timeout must not lose the run) — rel 1e-11 suffices: the
+        # mixed solve under validation floors at rel ~3e-11 itself
+        np.savez(f"/tmp/poly_gold_{n}.npz", u=u, energy=0.0,
+                 res_norms=np.asarray([rn / r0]))
+        if rn < max(1e-11 * r0, 1e-30):
+            break
+        t1 = time.perf_counter()
+        A = ell_to_scipy(asm.matrix(jnp.asarray(u), coeffs, batch=batch))
+        A = sp.csc_matrix(A)
+        # MMD_AT_PLUS_A: symmetric-structure ordering — far less
+        # fill-in than COLAMD on FEM matrices (measured 790 -> much
+        # less per factor); near-SPD, so relax partial pivoting
+        lu = spla.splu(A, permc_spec="MMD_AT_PLUS_A",
+                       options=dict(SymmetricMode=True,
+                                    DiagPivotThresh=0.001))
+        du = lu.solve(b)
+        print(f"  factor+solve {time.perf_counter()-t1:.0f}s "
+              f"nnz={A.nnz}", flush=True)
+        u = u + du
+    energy = float(asm.energy(jnp.asarray(u), coeffs, batch=batch))
+    print(f"gold-lu: newton={it} rel={rn/r0:.3e} "
+          f"energy={energy:.10e}", flush=True)
+    np.savez(f"/tmp/poly_gold_{n}.npz", u=u, energy=energy,
+             res_norms=np.asarray([rn / r0]))
+
+
 def mixed(n):
     import jax
 
@@ -174,4 +250,4 @@ def compare(n):
 if __name__ == "__main__":
     mode = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    dict(gold=gold, mixed=mixed, compare=compare)[mode](n)
+    dict(gold=gold, gold_lu=gold_lu, mixed=mixed, compare=compare)[mode](n)
