@@ -182,8 +182,12 @@ def test_outputs_phase(tmp_path):
     assert (tmp_path / "mechanic2d.vtu").exists()
     ET.parse(tmp_path / "mechanic2d.vtu")
     ET.parse(tmp_path / "mechanic2d.xdmf")
-    u_bin = np.fromfile(tmp_path / "mechanic2d_u.bin", dtype=np.float64)
-    assert u_bin.size == res.mesh.n_nodes * 3  # 2D vectors padded to 3
+    # heavy data rides one HDF5 file now (the reference's XDMF/HDF5
+    # pairing, via the pure-NumPy writer) — read it back without h5py
+    from tpufem.io.hdf5 import read_hdf5
+
+    h5 = read_hdf5(str(tmp_path / "mechanic2d.h5"))
+    assert h5["u"].shape == (res.mesh.n_nodes, 3)  # 2D vectors padded
     assert res.timers.elapsed["8 Outputs"] > 0
 
 
