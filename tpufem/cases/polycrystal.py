@@ -282,8 +282,12 @@ def run(
         u_flat = eng.from_lane(u_lane)
         u_cells = eng._gather_cells(u_lane)
         fn, xarg, xax = eng._elem_args(u_lane.dtype)
+        from tpufem.lane.engine import _strip_private
+
+        # cc carries the private ``_cd`` fused block (per-bin layout);
+        # the per-cell energy vmap needs the cells-minor leaves only
         e_cells = jax.vmap(fn, in_axes=(-1,) + xax + (-1,))(
-            u_cells, xarg, cc
+            u_cells, xarg, _strip_private(cc)
         )
         valid = jnp.asarray(eng.plan.cell_valid)
         energy = float(jnp.sum(jnp.where(valid, e_cells, 0.0)))
