@@ -167,6 +167,7 @@ def main():
     # round-over-round comparability.
     unstructured_mdof_s = polycrystal_mdof_s = None
     kernel_only = {}
+    sharded = {}
     try:
         # regular triangulation fed through the generic unstructured
         # pipeline (the engine never sees its regularity), and the
@@ -176,6 +177,15 @@ def main():
         polycrystal_mdof_s, kernel_only = _bench_unstructured(jitter=True)
     except Exception as e:  # keep the headline alive no matter what
         print(f"unstructured bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        # S=1 sharded engine COMPILED FOR THE REAL CHIP (non-interpret
+        # Pallas under shard_map + all_to_all): the multi-chip program
+        # executing on TPU, and the measured sharding tax vs the plain
+        # engine's CG iteration (VERDICT r4 item 3)
+        sharded = _bench_sharded()
+    except Exception as e:
+        print(f"sharded bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     out = {
@@ -196,6 +206,8 @@ def main():
     # consistency kernels, next to the end-to-end residual rate
     for k, v in kernel_only.items():
         out[f"kernel_{k}_mdof_s"] = round(v, 2)
+    for k, v in sharded.items():
+        out[k] = round(v, 3)
     _emit(out)
 
 
@@ -273,11 +285,17 @@ def _bench_unstructured(n: int = 1024, *, jitter: bool = True):
 
             kt = time_lane_kernels(eng32, cc, u0=u0)
             for k in ("elem", "ownref"):
-                if k in kt:
+                if k in kt and np.isfinite(kt[k]):
                     kernel_only[k] = ndofs / kt[k] / 1e6
                     print(f"unstructured[{kind}] kernel-only {k}: "
                           f"{kt[k]*1e3:.3f} ms -> "
                           f"{kernel_only[k]:.1f} MDoF/s", file=sys.stderr)
+                elif k in kt:
+                    # negative/zero slope = RTT noise ate the signal;
+                    # omit the key rather than print an absurd rate
+                    print(f"unstructured[{kind}] kernel-only {k}: "
+                          "slope not resolved (NaN) — omitted",
+                          file=sys.stderr)
         except Exception as e:
             print(f"kernel-only timing failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -315,12 +333,153 @@ def _bench_unstructured(n: int = 1024, *, jitter: bool = True):
         # ~8000-iteration difference (~20 s of device work) so RTT
         # jitter is a percent-level error, min-of-3 per endpoint
         ta, tb = best(64), best(8064)
-        dt = max(tb - ta, 1e-9) / 8000
+        if tb - ta <= 0:  # unresolvable slope — skip, don't invert
+            print(f"unstructured[{kind}] residual ({path}): slope not "
+                  "resolved — skipped", file=sys.stderr)
+            continue
+        dt = (tb - ta) / 8000
         r_p = ndofs / dt / 1e6
         print(f"unstructured[{kind}] residual ({path}): "
               f"{dt*1e3:.3f} ms -> {r_p:.1f} MDoF/s", file=sys.stderr)
         rate = max(rate, r_p)
     return rate, kernel_only
+
+
+def _bench_sharded(n: int = 1024):
+    """S=1 ShardedLaneEngine CG on the REAL chip at ~2.1M DoF.
+
+    Compiles the full multi-chip program (shard_map + all_to_all halo +
+    non-interpret Pallas lane kernels) for the TPU backend and runs it —
+    converting "multi-chip correct under CPU emulation" into "the
+    multi-chip program executes on TPU hardware". The slope protocol
+    rides INSIDE the sharded CG (traced nsteps): two chain lengths of
+    the same executable, differenced. The plain LaneEngine's Jacobi-CG
+    iteration is slope-timed the same way for the sharding-tax ratio.
+    Reference parity: the reference's distributed path is its ONLY path
+    at every np (FEniCSx/mechanic2d/asym_elasto_damage_model.cc:830-867).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpufem.cases.polycrystal import generate_polycrystal
+    from tpufem.forms import EnergyFunctional, asym_damage_psi
+    from tpufem.forms.form import Coefficient, Term
+    from tpufem.lane import LaneEngine
+    from tpufem.lane.sharded import ShardedLaneEngine
+    from tpufem.spaces import DirichletBC, FunctionSpace
+    from tpufem.spaces.bc import locate_dofs_geometrical
+
+    t0 = time.perf_counter()
+    mesh = generate_polycrystal(n, n_grains=200)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    ndofs = V.n_dofs
+    d = np.zeros(DS.n_dofs, np.float32)
+    d[np.abs(DS.dof_coords[:, 1] - 0.5) < 0.03] = 0.8
+    term = Term(
+        lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), 1.0e6, 0.3), 1
+    )
+    F = EnergyFunctional(V, [term], [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    coeffs = {"d": jnp.asarray(d)}
+
+    sle = ShardedLaneEngine(F, bcs, 1, interpret=False,
+                            devices=jax.devices()[:1])
+    ccs = sle.prepare_coeffs(coeffs)
+    u0s = sle.leaves["bc_lane"].astype(jnp.float32)
+    print(f"sharded setup: {ndofs} dofs, {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    free = sle._free(jnp.float32)
+    b, _bn = sle.residual_rhs(u0s, ccs)
+    dinv, _ = sle._diag(sle.leaves, u0s, ccs, sle._send_idx,
+                        sle._recv_place, free)
+    z0 = dinv * b
+    state = (jnp.zeros_like(b), b, z0, z0,
+             jax.device_put(sle.dot(b, z0) * jnp.ones(1), sle._sharding))
+
+    def run_s(r):
+        t1 = time.perf_counter()
+        _st, rr = sle._cg(
+            sle.leaves, u0s, ccs, sle._send_idx, sle._recv_place, free,
+            dinv, jax.tree.map(lambda x: x, state),
+            jnp.asarray(r, jnp.int32),
+        )
+        float(np.asarray(rr)[0])
+        return time.perf_counter() - t1
+
+    run_s(2)  # compile
+    ta = min(run_s(64) for _ in range(3))
+    tb = min(run_s(2064) for _ in range(3))
+    if tb - ta <= 0:
+        raise RuntimeError("sharded slope not resolved")
+    dt_s = (tb - ta) / 2000
+    print(f"sharded[S=1] CG iter: {dt_s*1e3:.3f} ms "
+          f"({ndofs/dt_s/1e6:.0f} MDoF/s)", file=sys.stderr)
+
+    # plain-engine Jacobi-CG iteration, same math, same slope protocol
+    eng = LaneEngine(F, bcs, fused=True)
+    eng32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a,
+        eng,
+    )
+    ccp = jax.tree.map(lambda a: a.astype(jnp.float32),
+                       eng.prepare_coeffs(coeffs))
+    u0p = eng32.bc_lane.astype(jnp.float32)
+    freep = eng32.free_lane.astype(jnp.float32)
+
+    @jax.jit
+    def cg_plain(e, u, c, fr, di, st, nsteps):
+        Araw = e.make_tangent(u, c)
+
+        def A(v):
+            av = Araw(v * fr)
+            return av * fr + v * (1.0 - fr)
+
+        def body(_, s):
+            x, r, z, pv, rz = s
+            Ap = A(pv)
+            alpha = rz / e.dot(pv, Ap)
+            x = x + alpha * pv
+            r = r - alpha * Ap
+            z = di * r
+            rz_new = e.dot(r, z)
+            pv = z + (rz_new / rz) * pv
+            return (x, r, z, pv, rz_new)
+
+        s = jax.lax.fori_loop(0, nsteps, body, st)
+        return jnp.sqrt(e.dot(s[1], s[1]))
+
+    rp = eng32.residual(u0p, ccp)
+    bp = -rp * freep
+    dp = eng32.diagonal(u0p, ccp)
+    dp = dp * freep + (1.0 - freep)
+    dip = jnp.where(dp != 0, 1.0 / jnp.where(dp == 0, 1.0, dp), 1.0)
+    zp = dip * bp
+    stp = (jnp.zeros_like(bp), bp, zp, zp, eng32.dot(bp, zp))
+
+    def run_p(r):
+        t1 = time.perf_counter()
+        rr = cg_plain(eng32, u0p, ccp, freep, dip, stp,
+                      jnp.asarray(r, jnp.int32))
+        float(np.asarray(rr))
+        return time.perf_counter() - t1
+
+    run_p(2)
+    ta = min(run_p(64) for _ in range(3))
+    tb = min(run_p(2064) for _ in range(3))
+    if tb - ta <= 0:
+        raise RuntimeError("plain slope not resolved")
+    dt_p = (tb - ta) / 2000
+    print(f"plain CG iter: {dt_p*1e3:.3f} ms "
+          f"({ndofs/dt_p/1e6:.0f} MDoF/s); sharding tax "
+          f"{dt_s/dt_p:.2f}x", file=sys.stderr)
+    return {
+        "sharded_cg_ms_iter": dt_s * 1e3,
+        "plain_cg_ms_iter": dt_p * 1e3,
+        "sharded_tax": dt_s / dt_p,
+    }
 
 
 if __name__ == "__main__":

@@ -59,7 +59,21 @@ def _problem(n):
     bcs = [DirichletBC(V, left, [0.0, 0.0]),
            DirichletBC(V, right, [0.01, 0.0])]
     coeffs = {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)}
-    return mesh, V, F, bcs, coeffs, d, E_cell
+    # volumetric load as a constant residual vector (USE_VOLUME parity;
+    # exact — the term is linear in u; cases/polycrystal.py r5)
+    from tpufem.assemble import Assembler
+
+    fvals = mechanic2d.volumetric_load(V.dof_coords)
+    load = Term(
+        lambda qp: -jnp.dot(qp.coeff("f"), qp.u), 2,
+    )
+    F_load = EnergyFunctional(V, [load], [Coefficient("f", V)])
+    r_load = np.asarray(Assembler(F_load, []).residual(
+        jnp.zeros(V.n_dofs, dtype=jnp.float64),
+        {"f": jnp.asarray(fvals.reshape(-1), dtype=jnp.float64)},
+        batch=262144,
+    ))
+    return mesh, V, F, bcs, coeffs, d, E_cell, r_load
 
 
 def gold(n):
@@ -74,10 +88,11 @@ def gold(n):
     from tpufem.la import amg
 
     t0 = time.perf_counter()
-    mesh, V, F, bcs, coeffs, d, E_cell = _problem(n)
+    mesh, V, F, bcs, coeffs, d, E_cell, r_load = _problem(n)
     print(f"setup {time.perf_counter()-t0:.0f}s, "
           f"{V.n_dofs/1e6:.2f}M dofs", flush=True)
     asm = Assembler(F, bcs)
+    rl = jnp.asarray(r_load)
     from tpufem.nls import NewtonSolver
 
     cfg = SolverConfig(
@@ -86,7 +101,8 @@ def gold(n):
     )
     solver = NewtonSolver(cfg)
     batch = 262144
-    rhs_j = jax.jit(lambda a, w, c: a.lifted_rhs(w, c))
+    rhs_j = jax.jit(lambda a, w, c: a.lifted_rhs(
+        w, c, r=a.residual(w, c, batch=262144) + rl))
     act_j = jax.jit(lambda a, w, c, v: a.constrained_action(w, c)(v))
 
     fm = np.asarray(asm.free_mask(jnp.float64))
@@ -108,7 +124,8 @@ def gold(n):
         precond=precond,
     )
     u = np.asarray(res.u)
-    energy = float(asm.energy(res.u, coeffs, batch=batch))
+    energy = float(asm.energy(res.u, coeffs, batch=batch)
+                   + jnp.vdot(rl, res.u))
     print(f"gold: newton={res.iterations} cg={res.krylov_iters} "
           f"|r|={res.residual_norms[-1]:.3e} energy={energy:.10e} "
           f"solve {time.perf_counter()-t0:.0f}s", flush=True)
@@ -134,10 +151,11 @@ def gold_lu(n):
     from tpufem.la.amg import ell_to_scipy
 
     t0 = time.perf_counter()
-    mesh, V, F, bcs, coeffs, d, E_cell = _problem(n)
+    mesh, V, F, bcs, coeffs, d, E_cell, r_load = _problem(n)
     print(f"setup {time.perf_counter()-t0:.0f}s, "
           f"{V.n_dofs/1e6:.2f}M dofs", flush=True)
     asm = Assembler(F, bcs)
+    rl = jnp.asarray(r_load)
     batch = 262144
     free = np.asarray(asm.free_mask(jnp.float64))
     import os
@@ -150,7 +168,14 @@ def gold_lu(n):
         # converges only ~6x/Newton through the piecewise law's branch
         # flips, too slow for machine precision within the round)
         u = np.load(f"/tmp/poly_mixed_{n}.npz")["u"].astype(np.float64)
-        r0 = 2.790740e7  # from-zero r0 of this problem (for rel prints)
+        # from-zero r0 of THIS problem (load included) for the rel
+        # stopping scale — computed, not hardcoded (the r4 constant
+        # 2.790740e7 was the unloaded problem's)
+        u0 = np.asarray(asm.set_bc(jnp.zeros(V.n_dofs)))
+        b00 = np.asarray(asm.lifted_rhs(
+            jnp.asarray(u0), coeffs,
+            r=asm.residual(jnp.asarray(u0), coeffs, batch=batch) + rl))
+        r0 = float(np.linalg.norm(b00 * free))
     else:
         u = np.zeros(V.n_dofs)
         # start from the BC-satisfying iterate
@@ -158,7 +183,9 @@ def gold_lu(n):
         r0 = None
     for it in range(1, 21):
         t1 = time.perf_counter()
-        b = np.asarray(asm.lifted_rhs(jnp.asarray(u), coeffs))
+        uj = jnp.asarray(u)
+        b = np.asarray(asm.lifted_rhs(
+            uj, coeffs, r=asm.residual(uj, coeffs, batch=batch) + rl))
         rn = float(np.linalg.norm(b * free))
         if r0 is None:
             r0 = rn
@@ -185,7 +212,8 @@ def gold_lu(n):
         print(f"  factor+solve {time.perf_counter()-t1:.0f}s "
               f"nnz={A.nnz}", flush=True)
         u = u + du
-    energy = float(asm.energy(jnp.asarray(u), coeffs, batch=batch))
+    energy = float(asm.energy(jnp.asarray(u), coeffs, batch=batch)
+                   + jnp.vdot(rl, jnp.asarray(u)))
     print(f"gold-lu: newton={it} rel={rn/r0:.3e} "
           f"energy={energy:.10e}", flush=True)
     np.savez(f"/tmp/poly_gold_{n}.npz", u=u, energy=energy,
@@ -235,10 +263,13 @@ def compare(n):
 
     from tpufem.assemble import Assembler
 
-    _mesh, _V, F, bcs, coeffs, _d, _E = _problem(n)
+    _mesh, _V, F, bcs, coeffs, _d, _E, r_load = _problem(n)
     asm = Assembler(F, bcs)
-    e_g = float(asm.energy(jnp.asarray(g["u"]), coeffs, batch=262144))
-    e_m = float(asm.energy(jnp.asarray(m["u"]), coeffs, batch=262144))
+    rl = jnp.asarray(r_load)
+    e_g = float(asm.energy(jnp.asarray(g["u"]), coeffs, batch=262144)
+                + jnp.vdot(rl, jnp.asarray(g["u"])))
+    e_m = float(asm.energy(jnp.asarray(m["u"]), coeffs, batch=262144)
+                + jnp.vdot(rl, jnp.asarray(m["u"])))
     e_rel = abs(e_m - e_g) / abs(e_g)
     print(f"|du|_inf rel = {rel_inf:.3e}")
     print(f"|du|_2   rel = {rel_l2:.3e}")

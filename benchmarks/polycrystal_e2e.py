@@ -14,12 +14,18 @@ defect correction past the f32 residual floor (~rel 2e-6 at 2.1M) to
 the reference's f64 accuracy. Needs x64, enabled below.
 """
 
+import os
 import sys
 import time
 
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# mesh-pure setup artifacts (mesh, lane plan, twolevel geo) are cached
+# across campaign runs — the analog of the reference reading its
+# offline-generated Neper mesh and linking precompiled kernels
+# (utils/artifacts.py). Cold-artifact numbers: delete the dir or unset.
+os.environ.setdefault("TPUFEM_ARTIFACT_CACHE", "/root/repo/.tpufem_cache")
 sys.path.insert(0, "/root/repo")
 
 

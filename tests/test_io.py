@@ -45,7 +45,9 @@ def test_write_xdmf(tmp_path):
     # sidecar binary files written, with the 2D->3D vector padding
     topo = np.fromfile(tmp_path / "out_topology.bin", dtype=np.int64)
     assert topo.size == mesh.n_cells * 3
-    ub = np.fromfile(tmp_path / "out_u.bin", dtype=np.float64)
+    # point fields are namespaced in storage (point_/cell_ — a field
+    # may share a name across centers without colliding)
+    ub = np.fromfile(tmp_path / "out_point_u.bin", dtype=np.float64)
     assert ub.size == mesh.n_nodes * 3
 
 

@@ -800,3 +800,63 @@ def test_q2_hex_multiqp_specialization():
     dg = eng.from_lane(eng.diagonal(u_lane, cc)) * free
     dg_ref = np.asarray(asm.diagonal(jnp.asarray(u_flat), {})) * free
     assert np.abs(dg - dg_ref).max() < 1e-10 * np.abs(dg_ref).max()
+
+
+def test_copy_tail_eviction_parity(monkeypatch):
+    """_evict_copy_tail (plan.py): on a jittered mesh with an extreme
+    copy-count tail the eviction must (a) actually fire — wg drops at
+    least one 8-row tier vs TPUFEM_EVICT_TIERS=0 — and (b) preserve
+    every plan invariant, pinned by residual/tangent/diagonal parity
+    against the flat Assembler on the evicted plan (ADVICE r4: the
+    move/refcount bookkeeping had no test coverage)."""
+    from tpufem.cases.polycrystal import generate_polycrystal
+
+    mesh = generate_polycrystal(48, n_grains=16)
+    V = FunctionSpace.create(mesh, 1, bs=2)
+    DS = FunctionSpace.create(mesh, 1, bs=1)
+    d = np.zeros(DS.n_dofs)
+    d[(DS.dof_coords[:, 1] > 0.4) & (DS.dof_coords[:, 1] < 0.6)] = 0.7
+    t = Term(lambda qp: asym_damage_psi(qp.eps, qp.coeff("d"), E, NU), 1)
+    F = EnergyFunctional(V, [t], [Coefficient("d", DS)])
+    left = locate_dofs_geometrical(V, lambda x: np.abs(x[:, 0]) < 1e-12)
+    bcs = [DirichletBC(V, left, [0.0, 0.0])]
+    dm = np.asarray(V.dofmap)
+    monkeypatch.setenv("TPUFEM_EVICT_TIERS", "0")
+    p0 = build_lane_plan(V.dof_coords, dm)
+    monkeypatch.setenv("TPUFEM_EVICT_TIERS", "1")
+    p1 = build_lane_plan(V.dof_coords, dm)
+    assert p1.wg <= p0.wg - 8, (p0.wg, p1.wg)  # the tier was bought
+    # every node still homed exactly once, copies reference real owners
+    assert p1.owned_mask.sum() == p1.n_nodes
+    assert (p1.owned_mask[p1.copy_src_rows, p1.copy_src_lanes]).all()
+    assert not (p1.owned_mask[p1.copy_dst_rows, p1.copy_dst_lanes]).any()
+    eng = LaneEngine(F, bcs, interpret=True, plan=p1, fused=True)
+    asm = Assembler(F, bcs)
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=V.n_dofs) * 1e-3
+    v = rng.normal(size=V.n_dofs)
+    coeffs = {"d": jnp.asarray(d)}
+    cc = eng.prepare_coeffs(coeffs)
+    r_lane = np.asarray(eng.from_lane(eng.residual(eng.to_lane(u), cc)))
+    r_flat = np.asarray(asm.residual(jnp.asarray(u), coeffs))
+    np.testing.assert_allclose(
+        r_lane, r_flat, rtol=0, atol=1e-10 * np.abs(r_flat).max()
+    )
+    t_lane = np.asarray(eng.from_lane(
+        eng.tangent_action(eng.to_lane(u), cc, eng.to_lane(v))
+    ))
+    t_flat = np.asarray(
+        asm.tangent_action(jnp.asarray(u), coeffs, jnp.asarray(v))
+    )
+    np.testing.assert_allclose(
+        t_lane, t_flat, rtol=0, atol=1e-10 * np.abs(t_flat).max()
+    )
+    # asm.diagonal has BC rows set to 1; eng.diagonal is raw — compare
+    # the free dofs (the solver applies d*free + (1-free) itself)
+    freem = np.asarray(asm.free_mask(jnp.float64)) > 0.5
+    d_lane = np.asarray(eng.from_lane(eng.diagonal(eng.to_lane(u), cc)))
+    d_flat = np.asarray(asm.diagonal(jnp.asarray(u), coeffs))
+    np.testing.assert_allclose(
+        d_lane[freem], d_flat[freem], rtol=0,
+        atol=1e-10 * np.abs(d_flat).max(),
+    )

@@ -187,7 +187,7 @@ def test_outputs_phase(tmp_path):
     from tpufem.io.hdf5 import read_hdf5
 
     h5 = read_hdf5(str(tmp_path / "mechanic2d.h5"))
-    assert h5["u"].shape == (res.mesh.n_nodes, 3)  # 2D vectors padded
+    assert h5["point_u"].shape == (res.mesh.n_nodes, 3)  # padded + namespaced
     assert res.timers.elapsed["8 Outputs"] > 0
 
 

@@ -104,10 +104,12 @@ def test_polycrystal_e2e_small(tmp_path):
         smooth_iters=4, output_path=out,
     )
     assert res.stats["converged"]
-    assert res.energy > 0 and np.isfinite(res.energy)
+    assert np.isfinite(res.energy)
+    assert res.energy_stiff > 0
     # DG0 fields: present, finite, and consistent — the asym law is
     # positively homogeneous of degree 2, so sum(sigma:eps * area) must
-    # equal 2 * total energy
+    # equal 2 * the STRAIN energy (the total adds the linear load term,
+    # present by default since round 5: USE_VOLUME parity)
     v = res.mesh.x[res.mesh.cells]
     area = 0.5 * np.abs(
         (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
@@ -116,7 +118,8 @@ def test_polycrystal_e2e_small(tmp_path):
     assert res.strain.shape == (len(res.mesh.cells), 3)
     assert np.isfinite(res.stress).all()
     np.testing.assert_allclose(
-        float(res.energy_density @ area), 2.0 * res.energy, rtol=1e-6
+        float(res.energy_density @ area), 2.0 * res.energy_stiff,
+        rtol=1e-6
     )
     # phase-8 outputs: XDMF + binary sidecars round-trip the mesh
     from tpufem.io.xdmf import read_xdmf
@@ -143,9 +146,18 @@ def test_polycrystal_mixed_precision_matches_f64():
     lane inner CG) must land on the all-f64 root — the reference's f64
     accuracy gate (BASELINE: 1e-10 displacement matching) at lane-f32
     speed. The golden run is the plain lane solve, which on CPU+x64 is
-    all-f64."""
+    all-f64.
+
+    use_volume=False keeps the sharp 1e-10 gate meaningful at this tiny
+    n: with the body force, r0 is load-dominated (at n=20 the load is
+    ~h^2-amplified relative to the stiffness response), so rtol-based
+    Newton stops leave |du| at the tolerance-implied ~1e-8 — a stopping
+    -criterion artifact, not an accuracy difference. At flagship scale
+    r0 is BC-dominated and the loaded 1e-10 gate is exercised by the
+    gold_f64_cpu campaign. The loaded small-n consistency is pinned by
+    test_polycrystal_mixed_loaded_consistent below."""
     kw = dict(n_grains=12, gmsh_roundtrip=False, interpret=True,
-              smooth_iters=4)
+              smooth_iters=4, use_volume=False)
     gold = polycrystal.run(
         20,
         solver=SolverConfig(cg_rtol=1e-12, newton_rtol=1e-10,
@@ -172,6 +184,51 @@ def test_polycrystal_mixed_precision_matches_f64():
 
 
 @pytest.mark.slow
+def test_polycrystal_mixed_loaded_consistent():
+    """Mixed vs plain-lane f64 on the LOADED problem (USE_VOLUME
+    default): both drive |r| rel to 1e-10 of the load-dominated r0, so
+    the solutions agree to the tolerance-implied level (~1e-8 at n=16)
+    — pins the const_residual plumbing end to end on both solvers."""
+    kw = dict(n_grains=12, gmsh_roundtrip=False, interpret=True,
+              smooth_iters=4)
+    gold = polycrystal.run(
+        16,
+        solver=SolverConfig(cg_rtol=1e-12, newton_rtol=1e-10,
+                            cg_maxit=5000, newton_maxit=20,
+                            error_on_nonconvergence=False,
+                            preconditioner="jacobi"),
+        **kw,
+    )
+    assert gold.stats["converged"]
+    mixed = polycrystal.run(
+        16,
+        solver=SolverConfig(cg_rtol=1e-6, newton_rtol=1e-10,
+                            cg_maxit=5000, newton_maxit=30,
+                            error_on_nonconvergence=False,
+                            preconditioner="jacobi"),
+        mixed=True,
+        **kw,
+    )
+    assert mixed.stats["converged"]
+    rel = (np.linalg.norm(mixed.u_flat - gold.u_flat)
+           / np.linalg.norm(gold.u_flat))
+    assert rel < 2e-7, rel
+    assert abs(mixed.energy - gold.energy) < 1e-5 * abs(gold.energy)
+    # the load genuinely deforms the solution vs the unloaded problem
+    noload = polycrystal.run(
+        16, use_volume=False,
+        solver=SolverConfig(cg_rtol=1e-12, newton_rtol=1e-10,
+                            cg_maxit=5000, newton_maxit=20,
+                            error_on_nonconvergence=False,
+                            preconditioner="jacobi"),
+        **kw,
+    )
+    dl = (np.linalg.norm(noload.u_flat - gold.u_flat)
+          / np.linalg.norm(gold.u_flat))
+    assert dl > 1e-3, dl
+
+
+@pytest.mark.slow
 def test_polycrystal_matches_structured_continuum():
     """With constant E and the same (unsmoothed) damage band, the
     unstructured polycrystal solve and the structured lattice solve
@@ -186,6 +243,7 @@ def test_polycrystal_matches_structured_continuum():
     n = 32
     res = polycrystal.run(
         n, n_grains=8, use_ecst=True, interpret=True, smooth_iters=0,
+        use_volume=False,  # the continuum twin below has no body force
         n_damage_chains=0,  # undamaged: exactly comparable continuum
         solver=SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False,
                             preconditioner="jacobi"),

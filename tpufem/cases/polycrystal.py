@@ -38,8 +38,26 @@ def generate_polycrystal(
     polycrystal. Grain seeds and jitter are reproducible (numpy PCG with
     ``seed``; the per-grain E field later reuses the reference's glibc
     srand(6575) stream keyed by these tags, mechanic2d.young_modulus_range).
+
+    Deterministic in its parameters, so the generated mesh is disk-cached
+    when TPUFEM_ARTIFACT_CACHE is set — the analog of the reference
+    READING its Neper-generated mesh file rather than generating it
+    inside the timed run (doc.tex:163-187; Neper runs offline).
     """
     from scipy.spatial import Delaunay, cKDTree
+
+    from tpufem.utils import artifacts as _art
+
+    ck = None
+    if _art.cache_dir() is not None:
+        ck = _art.fingerprint("polymesh", n, n_grains, seed, jitter,
+                              _art.MESH_CACHE_VERSION)
+        b = _art.load_bundle("mesh", ck)
+        if b is not None:
+            return Mesh(
+                x=b["x"], cells=b["cells"],
+                cell_type=CellType.triangle, cell_tags=b["cell_tags"],
+            )
 
     rng = np.random.default_rng(seed)
     xs = np.linspace(0.0, 1.0, n + 1)
@@ -65,9 +83,11 @@ def generate_polycrystal(
     seeds = rng.uniform(0.0, 1.0, (n_grains, 2))
     centroids = pts[cells].mean(axis=1)
     _, grain = cKDTree(seeds).query(centroids)
+    tags = (grain + 1).astype(INDEX_DTYPE)
+    if ck is not None:
+        _art.save_bundle("mesh", ck, x=pts, cells=cells, cell_tags=tags)
     return Mesh(
-        x=pts, cells=cells, cell_type=CellType.triangle,
-        cell_tags=(grain + 1).astype(INDEX_DTYPE),
+        x=pts, cells=cells, cell_type=CellType.triangle, cell_tags=tags,
     )
 
 
@@ -109,12 +129,13 @@ class PolycrystalResult:
     mesh: Mesh
     n_dofs: int
     u_flat: np.ndarray
-    energy: float
+    energy: float  # total potential (strain energy + load energy)
     stats: dict
     timings: dict
     strain: Optional[np.ndarray] = None  # (nc, 3) [e11,e12,e22] DG0
     stress: Optional[np.ndarray] = None  # (nc, 3)
     energy_density: Optional[np.ndarray] = None  # (nc,) sigma:eps
+    energy_stiff: Optional[float] = None  # strain energy alone
 
 
 def run(
@@ -133,13 +154,25 @@ def run(
     postprocess_fields: bool = True,
     output_path: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
+    use_volume: bool = True,
 ) -> PolycrystalResult:
     """End-to-end: generate (or take) the polycrystal, optional gmsh 2.2
     write+read round trip, per-grain E via the reference's glibc stream,
-    damage band + smoothing, LaneEngine Newton-Krylov solve.
+    damage band + smoothing, volumetric body force, LaneEngine
+    Newton-Krylov solve.
 
     Mirrors the mechanic2d phase structure on the *unstructured* path —
     the reference's actual workload shape (doc.tex:163-187).
+
+    ``use_volume``: include the volumetric load (the reference's
+    benchmark build defines USE_VOLUME, FEniCSx/...cc:4,559-588). The
+    load term is linear in u, so its assembled gradient is a CONSTANT
+    vector with zero tangent — it is assembled ONCE with the flat
+    Assembler at the exact quadrature degree (degree 2, the reference's
+    Measure metadata split, asym_ufl.py:78-81) and enters the solve as
+    ``const_residual`` — the reference's own 'Fcst' precomputed-load
+    variant (doc.tex:1583-1586) — keeping the lane kernels on the
+    single-term degree-1 fused path.
     """
     import jax
     import jax.numpy as jnp
@@ -220,6 +253,29 @@ def run(
            DirichletBC(V, right, [0.01, 0.0])]
     timings["5.1 dirichlet setting"] = time.perf_counter() - t0
 
+    # volumetric body force, assembled once as a constant residual term
+    # (exact: the term is linear in u — MFEM Fcst, doc.tex:1583-1586)
+    t0 = time.perf_counter()
+    r_load = None
+    if use_volume:
+        from tpufem.assemble.assembler import Assembler
+
+        fvals = mechanic2d.volumetric_load(V.dof_coords)
+        dt_load = jnp.float64 if mixed else jnp.float32
+        f_vec = jnp.asarray(fvals.reshape(-1), dtype=dt_load)
+        load = Term(
+            integrand=lambda qp: -jnp.dot(qp.coeff("f"), qp.u),
+            degree=2,
+        )
+        F_load = EnergyFunctional(V, [load], [Coefficient("f", V)])
+        r_load = jax.jit(
+            lambda a, f: a.residual(
+                jnp.zeros(V.n_dofs, dtype=dt_load), {"f": f},
+                batch=65536,
+            )
+        )(Assembler(F_load, []), f_vec)
+    timings["5.2 neumann/volume setting"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     # mixed runs keep all lane-engine state in f32 (the inner-CG
     # dtype): halves every setup upload through the axon tunnel; the
@@ -249,6 +305,7 @@ def run(
             cg_chunk=20 if use_tl else 200,
             fine_coeffs={"d": d, "E": E_cell} if use_tl else None,
             checkpoint_path=checkpoint_path,
+            const_residual=r_load,
         )
         u64, stats = solve(
             jnp.zeros(V.n_dofs, dtype=jnp.float64),
@@ -261,6 +318,12 @@ def run(
             cg_chunk=20 if use_tl else 200,
             fine_coeffs=(
                 {"d": d, "E": E_cell} if use_tl else None
+            ),
+            const_residual=(
+                None if r_load is None
+                else jnp.asarray(eng.plan.to_lane(
+                    np.asarray(r_load), eng.bs
+                ), dtype=eng.bc_lane.dtype)
             ),
         )
         u_lane, stats = solve(jnp.zeros_like(eng.bc_lane), cc)
@@ -278,6 +341,10 @@ def run(
             u64, {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)},
             batch=65536,
         ))
+        energy_stiff = energy
+        if r_load is not None:
+            # load energy is linear: E_load(u) = r_load . u exactly
+            energy += float(jnp.vdot(r_load, u64))
     else:
         u_flat = eng.from_lane(u_lane)
         u_cells = eng._gather_cells(u_lane)
@@ -291,6 +358,9 @@ def run(
         )
         valid = jnp.asarray(eng.plan.cell_valid)
         energy = float(jnp.sum(jnp.where(valid, e_cells, 0.0)))
+        energy_stiff = energy
+        if r_load is not None:
+            energy += float(np.vdot(np.asarray(r_load), u_flat))
     timings["8 postprocess (energy)"] = time.perf_counter() - t0
 
     # DG0 centroid strain/stress/energy-density — the reference's
@@ -339,4 +409,5 @@ def run(
         mesh=mesh, n_dofs=V.n_dofs, u_flat=u_flat, energy=energy,
         stats=stats, timings=timings,
         strain=strain, stress=stress, energy_density=endens,
+        energy_stiff=energy_stiff,
     )

@@ -224,6 +224,11 @@ def _parse_messages(buf: bytes, at: int):
 def _parse_dtype(body: bytes) -> np.dtype:
     cv, b0, _b1, _b2, size = struct.unpack_from("<BBBBI", body, 0)
     cls = cv & 0x0F
+    if cls in (0, 1) and (b0 & 0x01):
+        # byte-order bit set: big-endian data — fail loudly like the
+        # other unsupported-feature guards instead of silently
+        # misreading the bytes as little-endian (ADVICE r4)
+        raise NotImplementedError("big-endian HDF5 datatype")
     if cls == 1:
         return np.dtype(f"<f{size}")
     if cls == 0:

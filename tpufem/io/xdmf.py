@@ -52,17 +52,25 @@ def write_xdmf(
         raise ValueError(f"heavy={heavy!r}: 'hdf5' or 'binary'")
     h5_data: Dict[str, np.ndarray] = {}
 
-    def binref(name, arr, dtype, prec):
+    def binref(dsname, arr, dtype, prec):
+        # dsname is the storage key (dataset path / sidecar file stem);
+        # readers follow it from the XML, so it need not equal the
+        # Attribute name — point/cell fields are namespaced below so a
+        # field sharing a name across centers (or named 'geometry'/
+        # 'topology') cannot silently collide (ADVICE r4)
+        if dsname in h5_data:
+            raise ValueError(f"duplicate heavy-data name {dsname!r}")
         dims = " ".join(map(str, arr.shape))
         num = "Float" if "float" in str(dtype) else "Int"
         if heavy == "hdf5":
-            h5_data[name] = np.ascontiguousarray(arr, dtype=dtype)
+            h5_data[dsname] = np.ascontiguousarray(arr, dtype=dtype)
             return (
                 f'<DataItem Dimensions="{dims}" NumberType="{num}" '
                 f'Precision="{prec}" Format="HDF">'
-                f"{stem}.h5:/{name}</DataItem>"
+                f"{stem}.h5:/{dsname}</DataItem>"
             )
-        fn = f"{stem}_{name}.bin"
+        h5_data[dsname] = None  # duplicate tracking for the binary path
+        fn = f"{stem}_{dsname}.bin"
         np.ascontiguousarray(arr, dtype=dtype).tofile(
             os.path.join(os.path.dirname(path) or ".", fn)
         )
@@ -79,7 +87,7 @@ def write_xdmf(
             arr = np.concatenate([arr, np.zeros((len(arr), 1))], axis=1)
         attrs.append(
             f'<Attribute Name="{name}" AttributeType="{atype}" Center="Node">'
-            + binref(name, arr, np.float64, 8)
+            + binref(f"point_{name}", arr, np.float64, 8)
             + "</Attribute>"
         )
     for name, arr in (cell_data or {}).items():
@@ -87,7 +95,7 @@ def write_xdmf(
         atype = "Vector" if arr.ndim == 2 and arr.shape[1] > 1 else "Scalar"
         attrs.append(
             f'<Attribute Name="{name}" AttributeType="{atype}" Center="Cell">'
-            + binref(name, arr, np.float64, 8)
+            + binref(f"cell_{name}", arr, np.float64, 8)
             + "</Attribute>"
         )
 

@@ -75,10 +75,22 @@ class LaneEngine:
         # plan over scalar-dof "nodes": for P1 these are the mesh
         # vertices; for P2/Q2 the vertex+edge(+face/cell) dof points —
         # dof_coords gives every lane node a position for strip/bin
-        # locality, and space.dofmap is the cell->node table
-        self.plan = plan or build_lane_plan(
-            space.dof_coords, np.asarray(space.dofmap), wg_own=wg_own
-        )
+        # locality, and space.dofmap is the cell->node table. The plan
+        # is a pure function of (dof coords, dofmap, wg_own) — cached
+        # to disk when TPUFEM_ARTIFACT_CACHE is set (utils/artifacts.py)
+        self._plan_key = None
+        if plan is not None:
+            self.plan = plan
+        else:
+            from tpufem.utils.artifacts import cached_lane_plan
+
+            dm = np.asarray(space.dofmap)
+            self.plan, self._plan_key = cached_lane_plan(
+                space.dof_coords, dm, wg_own=wg_own,
+                builder=lambda: build_lane_plan(
+                    space.dof_coords, dm, wg_own=wg_own
+                ),
+            )
         p = self.plan
         # generic element path: the scalarized evaluator (every small
         # contraction unrolled; no batched micro-matmuls under the
@@ -1497,7 +1509,8 @@ class LaneEngine:
 
     def make_solver(self, cfg: Optional[SolverConfig] = None, *,
                     cg_chunk: int = 100, fine_coeffs=None,
-                    twolevel_nc=None, cg_chunk_max: Optional[int] = None):
+                    twolevel_nc=None, cg_chunk_max: Optional[int] = None,
+                    const_residual=None):
         """Chunked Newton-Krylov on the lane layout.
 
         ``cfg.preconditioner``: 'jacobi' (default) or 'twolevel' — the
@@ -1519,23 +1532,36 @@ class LaneEngine:
         if cg_chunk_max is None:
             from tpufem.config import is_remote_device_platform
 
-            cg_chunk_max = (16 * cg_chunk
+            # 64x: growth is overshoot-free (traced nsteps + on-device
+            # tolerance exit), so only the ~20 s single-execution fault
+            # limit matters — and the wall-time doubling rule (< 6 s)
+            # enforces that dynamically; the static cap is a backstop
+            cg_chunk_max = (64 * cg_chunk
                             if is_remote_device_platform() else cg_chunk)
         cg_chunk_max = max(cg_chunk_max, cg_chunk)
         use_tl = cfg.preconditioner == "twolevel"
         if use_tl and fine_coeffs is None:
             raise ValueError("twolevel needs fine_coeffs")
         _tl = {}
-        # chunk sizes whose cg_chunk_fn executable is already compiled
-        # (static_argnums=(0,)): the FIRST dispatch at a new nsteps pays
-        # a fresh XLA compile, so its wall time must not drive the
-        # grow/shrink decision — a long compile would trip the >12 s
-        # branch and spuriously halve the chunk (ADVICE r2)
-        _warm_sizes = set()
+        # the FIRST dispatch of cg_chunk_fn pays the XLA compile, so its
+        # wall time must not drive the grow/shrink decision — a long
+        # compile would trip the >12 s branch and spuriously halve the
+        # chunk (ADVICE r2). ``nsteps`` is a TRACED operand (the
+        # while_loop bound is already data-dependent), so ONE executable
+        # serves every chunk size — chunk growth costs zero compiles
+        # (VERDICT r4 weak #2: the static-argnum ladder paid up to five
+        # flagship-scale compiles per solve).
+        _warm = [False]
+        _chunk0 = [cg_chunk]  # chunk size persisted across Newton iters
+        # precomputed constant residual term (lane layout) — the
+        # u-independent load-vector path (MFEM Fcst, doc.tex:1583-1586);
+        # zero tangent contribution, so only rhs() changes
+        _cr = (jnp.zeros((), jnp.float32) if const_residual is None
+               else jnp.asarray(const_residual))
 
         @jax.jit
-        def rhs(eng, u, coeffs, free):
-            r = eng.residual(u, coeffs)
+        def rhs(eng, u, coeffs, free, cr):
+            r = eng.residual(u, coeffs) + cr.astype(u.dtype)
             b = -r * free
             return b, jnp.sqrt(eng.dot(b, b))
 
@@ -1545,7 +1571,7 @@ class LaneEngine:
             d = d * free + (1.0 - free)
             return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
 
-        @functools.partial(jax.jit, static_argnums=(0,))
+        @jax.jit
         def cg_chunk_fn(nsteps, eng, u_lin, coeffs, free, dinv, tl_data,
                         state, tol):
             if use_tl:
@@ -1601,9 +1627,10 @@ class LaneEngine:
                           eng.bc_lane.astype(u0_lane.dtype))
             r0 = None
             total_cg = 0
+            cg_iters = []  # per-Newton MATHEMATICAL exit iterations
             it = 0
             for it in range(1, cfg.newton_maxit + 1):
-                b, bnorm = rhs(eng, u, coeff_cells, free)
+                b, bnorm = rhs(eng, u, coeff_cells, free, _cr)
                 bnorm = float(bnorm)
                 if r0 is None:
                     r0 = bnorm
@@ -1647,14 +1674,20 @@ class LaneEngine:
                 k = 0
                 stall = 0
                 best_rr = float("inf")
-                chunk = cg_chunk
+                # start at the chunk size the previous Newton iteration
+                # learned: the on-device per-iteration tolerance check
+                # makes oversized chunks overshoot-free (the loop exits
+                # at the math, kd < nsteps), so only the wall-time
+                # fault limit bounds growth — no reason to re-climb
+                # the ladder from cg_chunk every iteration
+                chunk = _chunk0[0]
                 import time as _ct
                 while k < cfg.cg_maxit:
                     nsteps = min(chunk, cfg.cg_maxit - k)
                     _tc = _ct.perf_counter()
                     state, rr, kd = cg_chunk_fn(
-                        nsteps, eng, u, coeff_cells, free, dinv, tl_data,
-                        state, tol_dev
+                        jnp.asarray(nsteps, jnp.int32), eng, u,
+                        coeff_cells, free, dinv, tl_data, state, tol_dev
                     )
                     rr = float(rr)  # blocks: device exec + tunnel RTT
                     kd = int(kd)    # iterations actually run this chunk
@@ -1664,15 +1697,15 @@ class LaneEngine:
                     # under the remote runtime's ~20 s single-execution
                     # fault limit (wall includes the 2-3 s RTT, so this
                     # is conservative); shrink if we are already close.
-                    # Cold dispatches (first call at this nsteps) include
-                    # the compile — only warm execution drives adaptation
-                    if nsteps in _warm_sizes:
+                    # The very first dispatch includes the (one) compile
+                    # — only warm execution drives adaptation
+                    if _warm[0]:
                         if _tc < 6.0:
                             chunk = min(2 * chunk, cg_chunk_max)
                         elif _tc > 12.0:
                             chunk = max(chunk // 2, cg_chunk)
                     else:
-                        _warm_sizes.add(nsteps)
+                        _warm[0] = True
                     if rr < tol or kd < nsteps:
                         break
                     # stall guard: CG on a branch-switched tangent with a
@@ -1683,9 +1716,14 @@ class LaneEngine:
                         stall += 1
                         if stall >= 4:
                             break
+                        # a stalling solve must not grind 4 more FULL
+                        # jumbo chunks before the guard fires — shrink
+                        # so the guard reacts at fine granularity
+                        chunk = max(chunk // 2, cg_chunk)
                     else:
                         stall = 0
                     best_rr = min(best_rr, rr)
+                _chunk0[0] = chunk
                 # backtracking damping: the asym damage law is only
                 # piecewise-smooth (branch flips on eigenvalue signs),
                 # and full Newton steps can overshoot; halve until the
@@ -1694,24 +1732,26 @@ class LaneEngine:
                 alpha = 1.0
                 for _ in range(6):
                     _, bn_new = rhs(eng, u + alpha * step, coeff_cells,
-                                    free)
+                                    free, _cr)
                     if float(bn_new) <= bnorm * (1.0 + 1e-12):
                         break
                     alpha *= 0.5
                 u = u + alpha * step
                 total_cg += k
+                cg_iters.append(k)
                 if cfg.verbose:
                     print(
                         f"lane Newton {it}: |r| = {bnorm:.6e} (cg {k}"
                         + (f", damping {alpha}" if alpha < 1.0 else "")
                         + ")", flush=True
                     )
-            b, bnorm = rhs(eng, u, coeff_cells, free)
+            b, bnorm = rhs(eng, u, coeff_cells, free, _cr)
             bnorm = float(bnorm)
             converged = bnorm < max(cfg.newton_rtol * (r0 or bnorm or 1.0),
                                     cfg.newton_atol)
             return u, dict(
                 newton_iters=it, total_cg_iters=total_cg,
+                cg_iters=cg_iters,
                 final_residual=bnorm, r0=r0 or bnorm, converged=converged,
             )
 
@@ -1722,7 +1762,8 @@ class LaneEngine:
                           twolevel_nc=None, inner_dtype=None,
                           f64_batch: int = 65536,
                           cg_chunk_max: Optional[int] = None,
-                          checkpoint_path: Optional[str] = None):
+                          checkpoint_path: Optional[str] = None,
+                          const_residual=None):
         """Mixed-precision defect-correction Newton-Krylov.
 
         Outer residuals, convergence control, line search and iterate
@@ -1747,6 +1788,15 @@ class LaneEngine:
         fastest on quasi-uniform meshes), or 'amg' (smoothed-aggregation
         hierarchy with RBM near-nullspace, la/amg.py — fully algebraic,
         the robust choice on strongly graded meshes).
+
+        ``const_residual``: optional flat f64 vector ADDED to every
+        residual evaluation — the precomputed constant load-vector path
+        (u-independent terms like the volumetric body force contribute
+        a constant gradient and zero tangent, so assembling them once
+        outside the loop is exact; the reference's MFEM "Fcst" variant,
+        doc.tex:1583-1586). The engine's own functional then carries
+        only the u-dependent terms, keeping the fused lane kernels on
+        the single-term degree-1 fast path.
         """
         from tpufem.assemble.assembler import Assembler
 
@@ -1759,7 +1809,9 @@ class LaneEngine:
         if cg_chunk_max is None:
             from tpufem.config import is_remote_device_platform
 
-            cg_chunk_max = (16 * cg_chunk
+            # 64x — see make_solver (overshoot-free growth; the wall-
+            # time rule is the real bound)
+            cg_chunk_max = (64 * cg_chunk
                             if is_remote_device_platform() else cg_chunk)
         cg_chunk_max = max(cg_chunk_max, cg_chunk)
         use_tl = cfg.preconditioner == "twolevel"
@@ -1775,12 +1827,12 @@ class LaneEngine:
         # twolevel lattice sampling defaults to coeffs_flat at call time
         asm = Assembler(self.functional, self.bcs)
         _tl = {}
-        # chunk sizes whose cg_chunk_fn executable is already compiled
-        # (static_argnums=(0,)): the FIRST dispatch at a new nsteps pays
-        # a fresh XLA compile, so its wall time must not drive the
-        # grow/shrink decision — a long compile would trip the >12 s
-        # branch and spuriously halve the chunk (ADVICE r2)
-        _warm_sizes = set()
+        _chunk0 = [cg_chunk]  # chunk size persisted across Newton iters
+        # the FIRST dispatch of cg_chunk_fn pays the (one) XLA compile,
+        # so its wall time must not drive the grow/shrink decision
+        # (ADVICE r2). ``nsteps`` is a TRACED operand — one executable
+        # serves every chunk size (VERDICT r4 weak #2)
+        _warm = [False]
 
         # inner-dtype view of the engine: float leaves (geometry, masks)
         # pre-cast ONCE — under x64 the engine's device arrays are f64,
@@ -1819,11 +1871,11 @@ class LaneEngine:
             return _lane_of_flat(m, z, r)
 
         @jax.jit
-        def rhs64(asm_, u_flat, coeffs_flat, free_flat):
+        def rhs64(asm_, u_flat, coeffs_flat, free_flat, cr64):
             # slab-batched: one fused 2M-cell f64 residual kernel blows
             # HBM via padded remat temps (42x tile padding on the tiny
             # minor dims); slabs bound the temps at ~f64_batch cells
-            r = asm_.residual(u_flat, coeffs_flat, batch=f64_batch)
+            r = asm_.residual(u_flat, coeffs_flat, batch=f64_batch) + cr64
             b = -r * free_flat
             return b, jnp.sqrt(jnp.vdot(b, b))
 
@@ -1834,19 +1886,46 @@ class LaneEngine:
             return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
 
         @jax.jit
-        def resnorm_in(eng_, u_in, coeffs, free):
-            # inner-dtype residual norm on the lane engine — used ONLY
-            # to pick the damping factor. The backtracking test is a
-            # relative comparison with ~f32 noise; the accepted
-            # iterate's true f64 residual is what the next Newton
-            # iteration (and convergence control) actually uses, so
-            # accuracy is unaffected while each trial costs one lane
-            # dispatch instead of an emulated-f64 flat assembly.
-            r = eng_.residual(u_in, coeffs)
-            b = r * free
-            return jnp.sqrt(eng_.dot(b, b))
+        def ls_norms(eng_, u_in, step_in, coeffs, free, sc_in, cr_in):
+            # backtracking line search, ONE dispatch: inner-dtype
+            # residual norms at alpha in {0 (current), 1, 1/2, ... 1/64}
+            # via a sequential lax.map — the host picks the first
+            # non-increasing alpha. The backtracking test is a relative
+            # comparison with ~f32 noise; the accepted iterate's true
+            # f64 residual is what the next Newton iteration (and
+            # convergence control) actually uses, so accuracy is
+            # unaffected — while the whole search costs one tunnel
+            # round trip instead of up to seven (VERDICT r5 item 1c).
+            alphas = jnp.concatenate([
+                jnp.zeros((1,), idt),
+                (sc_in * 0.5 ** jnp.arange(7)).astype(idt),
+            ])
 
-        @functools.partial(jax.jit, static_argnums=(0,))
+            def nrm(a):
+                r = eng_.residual(u_in + a * step_in, coeffs) + cr_in
+                b = r * free
+                return jnp.sqrt(eng_.dot(b, b))
+
+            return jax.lax.map(nrm, alphas)
+
+        @jax.jit
+        def prep_inner(m, u64, b64, inv_scale, like):
+            # per-Newton f64->inner transfer in ONE program (flat ->
+            # lane for the iterate and the normalized rhs). Cast FIRST
+            # so the scatters run in the inner dtype — eager per-op
+            # dispatch of this sequence measured ~70 s/iteration at
+            # 6.17M dofs on the tunnel (round-4 'transfer' phase).
+            u_in = _lane_of_flat(m, u64.astype(idt), like)
+            b_in = _lane_of_flat(m, (b64 * inv_scale).astype(idt), like)
+            return u_in, b_in
+
+        @jax.jit
+        def apply_step(m, u64, step_in, alpha_scale):
+            # u + alpha*scale*step, lane->flat inside the same program
+            s64 = _flat_of_lane(m, step_in).astype(u64.dtype)
+            return u64 + alpha_scale * s64
+
+        @jax.jit
         def cg_chunk_fn(nsteps, eng_, u_lin, coeffs, free, dinv, tl_data,
                         state, tol):
             if use_tl:
@@ -1916,9 +1995,20 @@ class LaneEngine:
                 lambda a: a.astype(idt), coeff_cells
             )
             free_in = ieng.free_lane.astype(idt)
+            lmaps = eng._lane_maps_dev()
+            if const_residual is not None:
+                cr64 = jnp.asarray(const_residual, dtype=f64)
+                cr_in = jax.jit(
+                    lambda m, c, like: _lane_of_flat(m, c.astype(idt),
+                                                     like)
+                )(lmaps, cr64, free_in)
+            else:
+                cr64 = jnp.zeros((), f64)  # broadcasts in rhs64
+                cr_in = jnp.zeros((), idt)
             fine_c = fine_coeffs if fine_coeffs is not None else coeffs_flat
             r0 = None
             total_cg = 0
+            cg_iters = []  # per-Newton MATHEMATICAL exit iterations
             it = 0
             it0 = 1
             # problem/config fingerprint: a checkpoint written for a
@@ -1942,6 +2032,10 @@ class LaneEngine:
                     a = np.asarray(coeffs_flat[k])
                     h.update(k.encode())
                     h.update(repr(a.shape).encode())
+                    h.update(np.ascontiguousarray(a).tobytes()[:1 << 20])
+                if const_residual is not None:
+                    a = np.asarray(const_residual)
+                    h.update(b"const_residual")
                     h.update(np.ascontiguousarray(a).tobytes()[:1 << 20])
                 fp = h.hexdigest()
                 if os.path.exists(checkpoint_path):
@@ -1967,7 +2061,7 @@ class LaneEngine:
                               flush=True)
             for it in range(it0, cfg.newton_maxit + 1):
                 _t0 = _time.perf_counter()
-                b64, bnorm = rhs64(asm, u, coeffs_flat, free64)
+                b64, bnorm = rhs64(asm, u, coeffs_flat, free64, cr64)
                 bnorm = float(bnorm)
                 ph["rhs"] += _time.perf_counter() - _t0
                 if r0 is None:
@@ -1977,8 +2071,9 @@ class LaneEngine:
                     break
                 scale = bnorm if bnorm > 0 else 1.0
                 _t0 = _time.perf_counter()
-                u_in = eng.to_lane_dev(u).astype(idt)
-                b_in = eng.to_lane_dev(b64 / scale).astype(idt)
+                u_in, b_in = prep_inner(
+                    lmaps, u, b64, jnp.asarray(1.0 / scale, f64), free_in
+                )
                 # scalar materialization, not block_until_ready: the
                 # remote runtime's block_until_ready returns before the
                 # dispatch drains (memory: axon-tpu-runtime-gotchas)
@@ -2006,6 +2101,7 @@ class LaneEngine:
                                     {k: np.asarray(v)
                                      for k, v in fine_c.items()},
                                     nc=twolevel_nc, coarse_dtype=idt,
+                                    geo_dtype=idt,
                                 )
                             )
                             ph["tl_setup"] += _time.perf_counter() - _t0
@@ -2069,14 +2165,18 @@ class LaneEngine:
                     k = 0
                     stall = 0
                     best_rr = float("inf")
-                    chunk = cg_chunk
+                    # persisted across Newton iterations — see
+                    # make_solver (overshoot-free under the on-device
+                    # tolerance check)
+                    chunk = _chunk0[0]
                     _t0 = _time.perf_counter()
                     while k < cfg.cg_maxit:
                         nsteps = min(chunk, cfg.cg_maxit - k)
                         _tc = _time.perf_counter()
                         state, rr, kd = cg_chunk_fn(
-                            nsteps, ieng, u_in, coeffs_in, free_in, dinv,
-                            tl_data, state, tol_dev
+                            jnp.asarray(nsteps, jnp.int32), ieng, u_in,
+                            coeffs_in, free_in, dinv, tl_data, state,
+                            tol_dev
                         )
                         rr = float(rr)  # blocks: exec + tunnel RTT
                         kd = int(kd)
@@ -2085,51 +2185,57 @@ class LaneEngine:
                         # time-aware growth: keep a doubled dispatch
                         # clearly under the remote ~20 s execution
                         # fault limit (see axon gotchas); shrink when
-                        # a chunk already runs long. First call at a new
-                        # nsteps includes the compile — warm-only
-                        if nsteps in _warm_sizes:
+                        # a chunk already runs long. The first dispatch
+                        # includes the (one) compile — warm-only
+                        if _warm[0]:
                             if _tc < 6.0:
                                 chunk = min(2 * chunk, cg_chunk_max)
                             elif _tc > 12.0:
                                 chunk = max(chunk // 2, cg_chunk)
                         else:
-                            _warm_sizes.add(nsteps)
+                            _warm[0] = True
                         if rr < tol or kd < nsteps:
                             break
                         if rr > 0.9 * best_rr:
                             stall += 1
                             if stall >= 4:
                                 break
+                            # shrink so the stall guard reacts at fine
+                            # granularity (see make_solver)
+                            chunk = max(chunk // 2, cg_chunk)
                         else:
                             stall = 0
                         best_rr = min(best_rr, rr)
+                    _chunk0[0] = chunk
                     ph["cg"] += _time.perf_counter() - _t0
                 step_in = state[0] * free_in
-                step64 = eng.from_lane_dev(step_in).astype(f64) * scale
                 # backtracking damping on the INNER-dtype lane residual:
-                # each trial is one lane dispatch instead of an
-                # emulated-f64 flat assembly. f32 can't resolve norms
-                # near the convergence floor, but damping only matters
-                # in the large-residual regime where f32 is accurate —
-                # near the root the comparison ties and the full Newton
-                # step is (correctly) taken; the accepted iterate's
-                # true f64 residual still drives convergence control.
+                # all eight candidate norms (current + alpha ladder) in
+                # ONE dispatch instead of an emulated-f64 flat assembly
+                # per trial. f32 can't resolve norms near the
+                # convergence floor, but damping only matters in the
+                # large-residual regime where f32 is accurate — near
+                # the root the comparison ties and the full Newton step
+                # is (correctly) taken; the accepted iterate's true f64
+                # residual still drives convergence control.
                 alpha = 1.0
                 _t0 = _time.perf_counter()
                 with jax.enable_x64(False):
-                    r_cur = float(resnorm_in(ieng, u_in, coeffs_in,
-                                             free_in))
                     sc_in = jnp.asarray(scale, dtype=idt)
-                    for _ in range(6):
-                        u_try = u_in + (alpha * sc_in) * step_in
-                        bn_new = float(resnorm_in(ieng, u_try, coeffs_in,
-                                                  free_in))
-                        if bn_new <= r_cur * (1.0 + 1e-4):
+                    norms = np.asarray(ls_norms(
+                        ieng, u_in, step_in, coeffs_in, free_in, sc_in,
+                        cr_in,
+                    ))
+                    r_cur = float(norms[0])
+                    for j in range(7):
+                        alpha = 0.5 ** j
+                        if float(norms[1 + j]) <= r_cur * (1.0 + 1e-4):
                             break
-                        alpha *= 0.5
                 ph["linesearch"] += _time.perf_counter() - _t0
-                u = u + alpha * step64
+                u = apply_step(lmaps, u, step_in,
+                               jnp.asarray(alpha * scale, f64))
                 total_cg += k
+                cg_iters.append(k)
                 if cfg.verbose:
                     print(
                         f"mixed Newton {it}: |r| = {bnorm:.6e} (cg {k}"
@@ -2147,7 +2253,7 @@ class LaneEngine:
                         np.savez(fh, u=np.asarray(u), it=it,
                                  total_cg=total_cg, r0=r0, fingerprint=fp)
                     os.replace(tmp, checkpoint_path)
-            b64, bnorm = rhs64(asm, u, coeffs_flat, free64)
+            b64, bnorm = rhs64(asm, u, coeffs_flat, free64, cr64)
             bnorm = float(bnorm)
             converged = bnorm < max(cfg.newton_rtol * (r0 or bnorm or 1.0),
                                     cfg.newton_atol)
@@ -2161,6 +2267,7 @@ class LaneEngine:
                         os.remove(p)
             return u, dict(
                 newton_iters=it, total_cg_iters=total_cg,
+                cg_iters=cg_iters,
                 final_residual=bnorm, r0=r0 or bnorm,
                 converged=converged,
                 phase_s={k: round(v, 2) for k, v in ph.items()},

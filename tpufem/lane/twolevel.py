@@ -109,25 +109,13 @@ def rigid_body_modes_lane(eng, *, center=None, scale=None, free=None):
     return V * free[None]
 
 
-def _build_coarse(functional, mesh, bs, free_flat, fine_coeffs, *,
-                  x0, y0, hx, hy, ncx, ncy, mg_coarse_dofs=1500,
-                  coarse_dtype=None):
-    """Coarse lattice rediscretization of ``functional`` + lattice-MG
-    hierarchy: coefficient fields nearest-neighbor-sampled from
-    ``fine_coeffs`` onto the (ncx, ncy) lattice over [x0,..]x[y0,..],
-    operator linearized at u_c = 0, free mask from the nearest fine
-    node's ``free_flat``. Returns (mg_grids, mg_data, coarse_free)."""
+def _sample_coarse_fields(functional, mesh, free_flat, fine_coeffs, *,
+                          x0, y0, hx, hy, ncx, ncy, bs):
+    """HOST stage of the coarse build: nearest-neighbor-sample the fine
+    coefficient fields and the free mask onto the lattice. Pure numpy —
+    this is the part worth disk-caching (cKDTree queries over millions
+    of fine nodes)."""
     from scipy.spatial import cKDTree
-
-    from tpufem.forms.form import QP
-    from tpufem.structured import mg2d
-    from tpufem.structured.grid2d import StructuredGrid2D
-
-    term = functional.terms[0]
-
-    def density(grad_u, cvals):
-        qp = QP(grad_u, None, None, cvals, {})
-        return term.integrand(qp)
 
     field_kinds = {}
     coarse_fields = {}
@@ -136,6 +124,7 @@ def _build_coarse(functional, mesh, bs, free_flat, fine_coeffs, *,
     GX, GY = np.meshgrid(gx, gy, indexing="xy")
     lat_pts = np.stack([GX.ravel(), GY.ravel()], axis=1)
     node_tree = cKDTree(mesh.x[:, :2])
+    inear = None
     cell_tree = None
     for c in functional.coefficients:
         vals = np.asarray(fine_coeffs[c.name])
@@ -156,26 +145,46 @@ def _build_coarse(functional, mesh, bs, free_flat, fine_coeffs, *,
                 [vals[ilo].reshape(ncy, ncx), vals[iup].reshape(ncy, ncx)]
             )
             field_kinds[c.name] = "cell"
-            coarse_fields[c.name] = jnp.asarray(arr)
+            coarse_fields[c.name] = arr
         else:
-            _, inear = node_tree.query(lat_pts)
+            if inear is None:
+                _, inear = node_tree.query(lat_pts)
             field_kinds[c.name] = "vertex"
-            coarse_fields[c.name] = jnp.asarray(
-                vals[inear].reshape(ncy + 1, ncx + 1)
-            )
+            coarse_fields[c.name] = vals[inear].reshape(ncy + 1, ncx + 1)
 
-    grid = StructuredGrid2D(
-        nx=ncx, ny=ncy, hx=hx, hy=hy, bs=bs,
-        energy_density=density, field_kinds=field_kinds,
-    )
     # coarse free mask: a lattice node is constrained when its nearest
     # fine node is (per component)
-    _, inear = node_tree.query(lat_pts)
+    if inear is None:
+        _, inear = node_tree.query(lat_pts)
     cf = np.asarray(free_flat).reshape(-1, bs)[inear].T.reshape(
         bs, ncy + 1, ncx + 1
     )
-    coarse_free = jnp.asarray((cf > 0.5).astype(np.float64))
+    coarse_free = (cf > 0.5).astype(np.float64)
+    return field_kinds, coarse_fields, coarse_free
 
+
+def _coarse_mg_from_fields(functional, bs, field_kinds, coarse_fields,
+                           coarse_free, *, hx, hy, ncx, ncy,
+                           mg_coarse_dofs=1500, coarse_dtype=None):
+    """DEVICE stage: rediscretize on the lattice (linearized at u_c = 0
+    with the sampled coefficient fields) and build the lattice-MG
+    hierarchy."""
+    from tpufem.forms.form import QP
+    from tpufem.structured import mg2d
+    from tpufem.structured.grid2d import StructuredGrid2D
+
+    term = functional.terms[0]
+
+    def density(grad_u, cvals):
+        qp = QP(grad_u, None, None, cvals, {})
+        return term.integrand(qp)
+
+    grid = StructuredGrid2D(
+        nx=ncx, ny=ncy, hx=hx, hy=hy, bs=bs,
+        energy_density=density, field_kinds=dict(field_kinds),
+    )
+    coarse_fields = {k: jnp.asarray(v) for k, v in coarse_fields.items()}
+    coarse_free = jnp.asarray(coarse_free)
     if coarse_dtype is not None:
         coarse_fields = {
             k: v.astype(coarse_dtype) for k, v in coarse_fields.items()
@@ -189,9 +198,29 @@ def _build_coarse(functional, mesh, bs, free_flat, fine_coeffs, *,
     return mg_grids, mg_data, coarse_free
 
 
+def _build_coarse(functional, mesh, bs, free_flat, fine_coeffs, *,
+                  x0, y0, hx, hy, ncx, ncy, mg_coarse_dofs=1500,
+                  coarse_dtype=None):
+    """Coarse lattice rediscretization of ``functional`` + lattice-MG
+    hierarchy: coefficient fields nearest-neighbor-sampled from
+    ``fine_coeffs`` onto the (ncx, ncy) lattice over [x0,..]x[y0,..],
+    operator linearized at u_c = 0, free mask from the nearest fine
+    node's ``free_flat``. Returns (mg_grids, mg_data, coarse_free)."""
+    field_kinds, coarse_fields, coarse_free = _sample_coarse_fields(
+        functional, mesh, free_flat, fine_coeffs,
+        x0=x0, y0=y0, hx=hx, hy=hy, ncx=ncx, ncy=ncy, bs=bs,
+    )
+    return _coarse_mg_from_fields(
+        functional, bs, field_kinds, coarse_fields, coarse_free,
+        hx=hx, hy=hy, ncx=ncx, ncy=ncy,
+        mg_coarse_dofs=mg_coarse_dofs, coarse_dtype=coarse_dtype,
+    )
+
+
 def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
                        mg_coarse_dofs=1500, coarse_dtype=None,
-                       lattice=None, coarse=None, owned=None, force=None):
+                       lattice=None, coarse=None, owned=None, force=None,
+                       geo_dtype=None):
     """Host-side setup of everything state-INDEPENDENT: transfer tables,
     one-hot selectors, coarse lattice fields/operator (linearized at
     u_c = 0 with the frozen coefficient fields) and the lattice-MG
@@ -217,7 +246,17 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
     restriction ownership mask overriding the plan's intra-plan
     owned_mask (pass the cross-device owner mask so each node is
     restricted exactly once globally). ``force``: dict(SC, WRp, WRr, VR)
-    forcing the static table dims (so per-shard tables stack)."""
+    forcing the static table dims (so per-shard tables stack).
+
+    ``geo_dtype``: storage dtype for the transfer tables' float arrays
+    (S, p_wts, r_wts) — mixed-precision solves pass the inner dtype so
+    the tables upload and live on device at half width (they are cast
+    to the operand dtype at every apply anyway).
+
+    The plain build (no sharded-build hooks) is a pure function of the
+    lane plan + fine coefficient fields + lattice parameters — cached
+    to disk when TPUFEM_ARTIFACT_CACHE is set (utils/artifacts.py);
+    round-4's flagship paid 391-737 s rebuilding it per run."""
     p = eng.plan
     bs = eng.bs
     mesh = eng.space.mesh
@@ -235,6 +274,55 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
         hx = (x1 - x0) / ncx
         hy = (y1 - y0) / ncy
     force = force or {}
+    gdt = np.dtype(geo_dtype) if geo_dtype is not None else None
+
+    # -- disk cache (plain builds only: the sharded hooks inject
+    # cross-shard state the key can't see) -------------------------------------
+    from tpufem.utils import artifacts as _art
+
+    cache_key = None
+    if (lattice is None and coarse is None and owned is None
+            and not force and getattr(eng, "_plan_key", None)
+            and _art.cache_dir() is not None):
+        cache_key = _art.fingerprint(
+            eng._plan_key,
+            *[np.asarray(fine_coeffs[k]) for k in sorted(fine_coeffs)],
+            sorted(fine_coeffs), int(ncx), int(ncy), degree,
+            mg_coarse_dofs, str(coarse_dtype), str(gdt),
+            _art.TL_CACHE_VERSION,
+        )
+        b = _art.load_bundle("tlgeo", cache_key)
+        if b is not None:
+            names = [str(n) for n in b["field_names"]]
+            field_kinds = dict(zip(names,
+                                   [str(k) for k in b["field_kinds"]]))
+            mg_grids, mg_data, coarse_free = _coarse_mg_from_fields(
+                eng.functional, bs, field_kinds,
+                {n: b[f"cf_{n}"] for n in names},
+                b["coarse_free"], hx=hx, hy=hy, ncx=ncx, ncy=ncy,
+                mg_coarse_dofs=mg_coarse_dofs,
+                coarse_dtype=coarse_dtype,
+            )
+            static = TwoLevelStatic(
+                SC=int(b["dims"][0]), WRp=int(b["dims"][1]),
+                WRr=int(b["dims"][2]), Kc=int(b["dims"][3]),
+                ncx=ncx, ncy=ncy, Rv=int(b["dims"][4]),
+                mg_grids=mg_grids, degree=degree,
+            )
+            geo = dict(
+                S=jnp.asarray(b["S"]),
+                p_starts=jnp.asarray(b["p_starts"]),
+                p_idx=jnp.asarray(b["p_idx"]),
+                p_wts=jnp.asarray(b["p_wts"]),
+                r_starts=jnp.asarray(b["r_starts"]),
+                r_idx=jnp.asarray(b["r_idx"]),
+                r_wts=jnp.asarray(b["r_wts"]),
+                o_dst=jnp.asarray(b["o_dst"]),
+                o_src=jnp.asarray(b["o_src"]),
+                mg_data=mg_data,
+                coarse_free=coarse_free,
+            )
+            return static, geo
 
     # --- per-lane coarse-column sets + one-hot selector ----------------------
     lo = p.strip_x[:, 0] - hx
@@ -410,20 +498,44 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
         o_src = np.zeros(0, np.int32)
 
     # --- coarse lattice operator ------------------------------------------------
+    cf_host = None
     if coarse is None:
-        coarse = _build_coarse(
-            eng.functional, mesh, bs,
+        field_kinds, coarse_fields, cfree_host = _sample_coarse_fields(
+            eng.functional, mesh,
             eng.from_lane(np.asarray(eng.free_lane)), fine_coeffs,
-            x0=x0, y0=y0, hx=hx, hy=hy, ncx=ncx, ncy=ncy,
+            x0=x0, y0=y0, hx=hx, hy=hy, ncx=ncx, ncy=ncy, bs=bs,
+        )
+        cf_host = (field_kinds, coarse_fields, cfree_host)
+        coarse = _coarse_mg_from_fields(
+            eng.functional, bs, field_kinds, coarse_fields, cfree_host,
+            hx=hx, hy=hy, ncx=ncx, ncy=ncy,
             mg_coarse_dofs=mg_coarse_dofs, coarse_dtype=coarse_dtype,
         )
     mg_grids, mg_data, coarse_free = coarse
 
+    if gdt is not None:
+        S = S.astype(gdt)
+        p_wts = p_wts.astype(gdt)
+        r_wts = r_wts.astype(gdt)
     static = TwoLevelStatic(
         SC=SC, WRp=WRp, WRr=WRr, Kc=Kc, ncx=ncx, ncy=ncy, Rv=Rv,
         mg_grids=mg_grids, degree=degree,
     )
     starts_gc = np.ascontiguousarray(r_start)
+    if cache_key is not None and cf_host is not None:
+        field_kinds, coarse_fields, cfree_host = cf_host
+        names = sorted(coarse_fields)
+        _art.save_bundle(
+            "tlgeo", cache_key,
+            dims=np.array([SC, WRp, WRr, Kc, Rv], np.int64),
+            S=S, p_starts=starts_p, p_idx=p_idx, p_wts=p_wts,
+            r_starts=starts_gc, r_idx=r_idx, r_wts=r_wts,
+            o_dst=o_dst, o_src=o_src,
+            coarse_free=cfree_host,
+            field_names=np.array(names),
+            field_kinds=np.array([field_kinds[n] for n in names]),
+            **{f"cf_{n}": coarse_fields[n] for n in names},
+        )
     geo = dict(
         S=jnp.asarray(S),
         p_starts=jnp.asarray(starts_p),
