@@ -285,9 +285,10 @@ def run(
         F, bcs, wg_own=wg_own, interpret=interpret, fused=True,
         store_dtype=(np.float32 if mixed else None),
     )
-    cc = eng.prepare_coeffs(
-        {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)}
-    )
+    # HOST arrays: prepare_coeffs gathers on the host; handing it
+    # device arrays forces a device->host pull through the tunnel
+    # (measured 425 s at n=256 — most of round 4's 'plan+coeffs' tax)
+    cc = eng.prepare_coeffs({"d": d, "E": E_cell})
     timings["7.1 lane plan + coeffs"] = time.perf_counter() - t0
 
     cfg = solver or SolverConfig(
@@ -309,7 +310,7 @@ def run(
         )
         u64, stats = solve(
             jnp.zeros(V.n_dofs, dtype=jnp.float64),
-            {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)},
+            {"d": d, "E": E_cell},
             cc,
         )
     else:
@@ -335,12 +336,12 @@ def run(
         # kernels are Pallas and Mosaic has no f64 on TPU)
         from tpufem.assemble.assembler import Assembler
 
-        u_flat = np.asarray(u64)
+        from tpufem.utils.xfer64 import get_f64, put_f64
+
+        u_flat = get_f64(u64)  # ONE tunnel-safe pull (f32 components)
+        coeffs_dev = {"d": put_f64(d), "E": put_f64(E_cell)}
         asm = Assembler(F, bcs)
-        energy = float(asm.energy(
-            u64, {"d": jnp.asarray(d), "E": jnp.asarray(E_cell)},
-            batch=65536,
-        ))
+        energy = float(asm.energy(u64, coeffs_dev, batch=65536))
         energy_stiff = energy
         if r_load is not None:
             # load energy is linear: E_load(u) = r_load . u exactly
@@ -375,13 +376,14 @@ def run(
 
         if not mixed:
             asm = Assembler(F, bcs)
-        u_pp = jnp.asarray(u_flat)
-        strain, stress, endens = _dg0(
-            asm, u_pp,
-            {"d": jnp.asarray(d, u_pp.dtype),
-             "E": jnp.asarray(E_cell, u_pp.dtype)},
-            batch=65536,
-        )
+        if mixed:
+            # reuse the device iterate + coeffs — no re-upload
+            u_pp, c_pp = u64, coeffs_dev
+        else:
+            u_pp = jnp.asarray(u_flat)
+            c_pp = {"d": jnp.asarray(d, u_pp.dtype),
+                    "E": jnp.asarray(E_cell, u_pp.dtype)}
+        strain, stress, endens = _dg0(asm, u_pp, c_pp, batch=65536)
     timings["8.1 strain/stress computation"] = time.perf_counter() - t0
 
     # parallel-output analog of the reference's phase 8 (XDMF/VTX,

@@ -1982,6 +1982,23 @@ class LaneEngine:
         def solve(u0_flat, coeffs_flat, coeff_cells):
             import time as _time
 
+            from tpufem.utils.xfer64 import get_f64, put_f64
+
+            # normalize the flat coefficients: device copies for the
+            # f64 assembler programs (uploaded ONCE, via the f32-split
+            # path — direct f64 device_put crawls on the tunnel), host
+            # copies for fingerprint hashing (np.asarray on a device
+            # f64 array is a pathological pull there)
+            coeffs_host = {
+                k: (v if isinstance(v, np.ndarray) else None)
+                for k, v in coeffs_flat.items()
+            }
+            coeffs_flat = {
+                k: (put_f64(v) if isinstance(v, np.ndarray)
+                    and v.dtype == np.float64 else jnp.asarray(v))
+                for k, v in coeffs_flat.items()
+            }
+
             # cumulative wall per stage — on the tunnel platform the
             # per-dispatch round trip dominates, and this breakdown is
             # what says where (each stage ends in a float() sync)
@@ -2029,7 +2046,9 @@ class LaneEngine:
                     cfg.preconditioner, str(np.dtype(idt)),
                 )).encode())
                 for k in sorted(coeffs_flat):
-                    a = np.asarray(coeffs_flat[k])
+                    a = coeffs_host[k]
+                    if a is None:  # device input: tunnel-safe pull
+                        a = get_f64(coeffs_flat[k])
                     h.update(k.encode())
                     h.update(repr(a.shape).encode())
                     h.update(np.ascontiguousarray(a).tobytes()[:1 << 20])
@@ -2047,7 +2066,7 @@ class LaneEngine:
                               " has a different problem/config fingerprint"
                               " — ignoring it (fresh solve)", flush=True)
                     else:
-                        u = jnp.asarray(ck["u"], dtype=f64)
+                        u = put_f64(np.asarray(ck["u"], np.float64))
                         r0 = float(ck["r0"])
                         total_cg = int(ck["total_cg"])
                         it0 = int(ck["it"]) + 1
@@ -2250,7 +2269,7 @@ class LaneEngine:
 
                     tmp = checkpoint_path + ".tmp"
                     with open(tmp, "wb") as fh:
-                        np.savez(fh, u=np.asarray(u), it=it,
+                        np.savez(fh, u=get_f64(u), it=it,
                                  total_cg=total_cg, r0=r0, fingerprint=fp)
                     os.replace(tmp, checkpoint_path)
             b64, bnorm = rhs64(asm, u, coeffs_flat, free64, cr64)
