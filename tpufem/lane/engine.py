@@ -1660,15 +1660,28 @@ class LaneEngine:
                 if use_tl:
                     from tpufem.lane import twolevel as tlmod
 
-                    u_cells0 = eng._gather_cells(u)
-                    z0 = tlmod.precondition(
-                        eng, _tl["static"], tl_data, u_cells0,
-                        coeff_cells, free, b,
+                    if "z0_fn" not in _tl:
+                        static_ = _tl["static"]
+
+                        @jax.jit
+                        def _z0_fn(e, dat, c, f, b_, u_l):
+                            uc = e._gather_cells(u_l)
+                            z = tlmod.precondition(
+                                e, static_, dat, uc, c, f, b_
+                            )
+                            return z, e.dot(b_, z), e.dot(b_, b_)
+
+                        _tl["z0_fn"] = _z0_fn
+                    z0, rz0, rr0 = _tl["z0_fn"](
+                        eng, tl_data, coeff_cells, free, b, u
                     )
+                    state = (jnp.zeros_like(b), b, z0, z0, rz0, rr0,
+                             jnp.zeros((), jnp.int32))
                 else:
                     z0 = dinv * b
-                state = (jnp.zeros_like(b), b, z0, z0, eng.dot(b, z0),
-                         eng.dot(b, b), jnp.zeros((), jnp.int32))
+                    state = (jnp.zeros_like(b), b, z0, z0,
+                             eng.dot(b, z0), eng.dot(b, b),
+                             jnp.zeros((), jnp.int32))
                 tol = max(cfg.cg_rtol * bnorm, cfg.cg_atol)
                 tol_dev = jnp.asarray(tol, dtype=b.dtype)
                 k = 0
@@ -2003,7 +2016,8 @@ class LaneEngine:
             # per-dispatch round trip dominates, and this breakdown is
             # what says where (each stage ends in a float() sync)
             ph = dict(rhs=0.0, diag=0.0, tl_setup=0.0, tl_refresh=0.0,
-                      cg=0.0, linesearch=0.0, transfer=0.0)
+                      z0=0.0, cg=0.0, linesearch=0.0, transfer=0.0,
+                      checkpoint=0.0)
 
             f64 = u0_flat.dtype
             free64 = asm.free_mask(f64)
@@ -2130,11 +2144,29 @@ class LaneEngine:
                         )
                         tl_data = _tl["data"]
                         ph["tl_refresh"] += _time.perf_counter() - _t0
-                        u_cells0 = ieng._gather_cells(u_in)
-                        z0 = tlmod.precondition(
-                            ieng, _tl["static"], tl_data, u_cells0, coeffs_in,
-                            free_in, b_in,
+                        if "z0_fn" not in _tl:
+                            static_ = _tl["static"]
+
+                            @jax.jit
+                            def _z0_fn(e, dat, c, f, b, u_l):
+                                uc = e._gather_cells(u_l)
+                                z = tlmod.precondition(
+                                    e, static_, dat, uc, c, f, b
+                                )
+                                return z, e.dot(b, z), e.dot(b, b)
+
+                            _tl["z0_fn"] = _z0_fn
+                        # ONE jitted dispatch: eager evaluation of the
+                        # two-level cycle here cost a per-op compile +
+                        # RTT storm every Newton iteration (most of the
+                        # r5 run-1 unaccounted NL time)
+                        _t0 = _time.perf_counter()
+                        z0, _rz0, _rr0 = _tl["z0_fn"](
+                            ieng, tl_data, coeffs_in, free_in, b_in,
+                            u_in,
                         )
+                        float(np.asarray(jax.device_get(_rr0)))
+                        ph["z0"] += _time.perf_counter() - _t0
                     elif use_amg:
                         if "hier" not in _tl:
                             # host SA-AMG setup from the Jacobian at
@@ -2174,9 +2206,13 @@ class LaneEngine:
                         z0 = _amg_M(tl_data, b_in)
                     else:
                         z0 = dinv * b_in
-                    state = (jnp.zeros_like(b_in), b_in, z0, z0,
-                             ieng.dot(b_in, z0), ieng.dot(b_in, b_in),
-                             jnp.zeros((), jnp.int32))
+                    if use_tl:
+                        state = (jnp.zeros_like(b_in), b_in, z0, z0,
+                                 _rz0, _rr0, jnp.zeros((), jnp.int32))
+                    else:
+                        state = (jnp.zeros_like(b_in), b_in, z0, z0,
+                                 ieng.dot(b_in, z0), ieng.dot(b_in, b_in),
+                                 jnp.zeros((), jnp.int32))
                     # inner tolerance is relative to the normalized rhs
                     # (norm 1); f32 bottoms out near ~1e-6
                     tol = max(cfg.cg_rtol, cfg.cg_atol / scale)
@@ -2267,11 +2303,13 @@ class LaneEngine:
                     # completed Newton iteration instead of restarting
                     import os
 
+                    _t0 = _time.perf_counter()
                     tmp = checkpoint_path + ".tmp"
                     with open(tmp, "wb") as fh:
                         np.savez(fh, u=get_f64(u), it=it,
                                  total_cg=total_cg, r0=r0, fingerprint=fp)
                     os.replace(tmp, checkpoint_path)
+                    ph["checkpoint"] += _time.perf_counter() - _t0
             b64, bnorm = rhs64(asm, u, coeffs_flat, free64, cr64)
             bnorm = float(bnorm)
             converged = bnorm < max(cfg.newton_rtol * (r0 or bnorm or 1.0),
