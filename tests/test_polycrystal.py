@@ -99,7 +99,13 @@ def test_polycrystal_e2e_small(tmp_path):
     out = str(tmp_path / "poly.xdmf")
     res = polycrystal.run(
         20, n_grains=12, gmsh_roundtrip=True, interpret=True,
-        solver=SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False,
+        # the volumetric load (default since r5) deforms the solution
+        # ~13% and flips more damage branches: the loaded problem at
+        # this tiny n needs the same Newton headroom as the verified
+        # loaded-consistency tests (maxit 20), not the quick defaults
+        solver=SolverConfig(cg_rtol=1e-10, newton_rtol=1e-7,
+                            newton_maxit=20,
+                            error_on_nonconvergence=False,
                             preconditioner="jacobi"),
         smooth_iters=4, output_path=out,
     )

@@ -198,6 +198,66 @@ def _coarse_mg_from_fields(functional, bs, field_kinds, coarse_fields,
     return mg_grids, mg_data, coarse_free
 
 
+def _mg_to_bundle(mg_data) -> dict:
+    """MGData -> flat numpy dict (for the tlgeo disk bundle). Grids are
+    NOT stored — they are pure python (scalars + the energy closure)
+    and are rebuilt deterministically by coarsen_grid."""
+    out = {"mg_nlev": np.asarray(len(mg_data.levels), np.int64),
+           "mg_coarse_inv": np.asarray(mg_data.coarse_inv),
+           "mg_coarse_free": np.asarray(mg_data.coarse_free)}
+    for i, L in enumerate(mg_data.levels):
+        out[f"mgl{i}_u"] = np.asarray(L.u_lin)
+        out[f"mgl{i}_free"] = np.asarray(L.free)
+        out[f"mgl{i}_invd"] = np.asarray(L.inv_d)
+        out[f"mgl{i}_lmax"] = np.asarray(L.lmax)
+        for k in sorted(L.fields):
+            out[f"mgl{i}_f_{k}"] = np.asarray(L.fields[k])
+    return out
+
+
+def _mg_from_bundle(functional, bs, field_kinds, b, *, hx, hy, ncx,
+                    ncy):
+    """Rebuild (mg_grids, MGData) from a _mg_to_bundle dict: grids by
+    repeated coarsen_grid (host-only), arrays straight to device —
+    no per-level device builds, no dense coarse pinv (the round-5
+    flagship paid ~minutes of host SVD + eager level dispatches
+    rebuilding an identical hierarchy every run)."""
+    from tpufem.forms.form import QP
+    from tpufem.structured import mg2d
+    from tpufem.structured.grid2d import StructuredGrid2D
+
+    term = functional.terms[0]
+
+    def density(grad_u, cvals):
+        qp = QP(grad_u, None, None, cvals, {})
+        return term.integrand(qp)
+
+    g = StructuredGrid2D(
+        nx=ncx, ny=ncy, hx=hx, hy=hy, bs=bs,
+        energy_density=density, field_kinds=dict(field_kinds),
+    )
+    nlev = int(b["mg_nlev"])
+    grids = [g]
+    levels = []
+    names = sorted(field_kinds)
+    for i in range(nlev):
+        levels.append(mg2d.MGLevel(
+            u_lin=jnp.asarray(b[f"mgl{i}_u"]),
+            fields={k: jnp.asarray(b[f"mgl{i}_f_{k}"]) for k in names},
+            free=jnp.asarray(b[f"mgl{i}_free"]),
+            inv_d=jnp.asarray(b[f"mgl{i}_invd"]),
+            lmax=jnp.asarray(b[f"mgl{i}_lmax"]),
+        ))
+        g = mg2d.coarsen_grid(g)
+        grids.append(g)
+    data = mg2d.MGData(
+        levels=tuple(levels),
+        coarse_inv=jnp.asarray(b["mg_coarse_inv"]),
+        coarse_free=jnp.asarray(b["mg_coarse_free"]),
+    )
+    return tuple(grids), data
+
+
 def _build_coarse(functional, mesh, bs, free_flat, fine_coeffs, *,
                   x0, y0, hx, hy, ncx, ncy, mg_coarse_dofs=1500,
                   coarse_dtype=None):
@@ -296,13 +356,28 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
             names = [str(n) for n in b["field_names"]]
             field_kinds = dict(zip(names,
                                    [str(k) for k in b["field_kinds"]]))
-            mg_grids, mg_data, coarse_free = _coarse_mg_from_fields(
-                eng.functional, bs, field_kinds,
-                {n: b[f"cf_{n}"] for n in names},
-                b["coarse_free"], hx=hx, hy=hy, ncx=ncx, ncy=ncy,
-                mg_coarse_dofs=mg_coarse_dofs,
-                coarse_dtype=coarse_dtype,
-            )
+            if "mg_nlev" in b:
+                # hierarchy cached: pure array uploads, no device build
+                mg_grids, mg_data = _mg_from_bundle(
+                    eng.functional, bs, field_kinds, b,
+                    hx=hx, hy=hy, ncx=ncx, ncy=ncy,
+                )
+                cfree = b["coarse_free"]
+                if coarse_dtype is not None:
+                    cfree = cfree.astype(coarse_dtype)
+                coarse_free = jnp.asarray(cfree)
+            else:
+                mg_grids, mg_data, coarse_free = _coarse_mg_from_fields(
+                    eng.functional, bs, field_kinds,
+                    {n: b[f"cf_{n}"] for n in names},
+                    b["coarse_free"], hx=hx, hy=hy, ncx=ncx, ncy=ncy,
+                    mg_coarse_dofs=mg_coarse_dofs,
+                    coarse_dtype=coarse_dtype,
+                )
+                # upgrade a pre-hierarchy bundle in place so the next
+                # run skips the level builds + dense coarse pinv
+                _art.save_bundle("tlgeo", cache_key, **b,
+                                 **_mg_to_bundle(mg_data))
             static = TwoLevelStatic(
                 SC=int(b["dims"][0]), WRp=int(b["dims"][1]),
                 WRr=int(b["dims"][2]), Kc=int(b["dims"][3]),
@@ -535,6 +610,7 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
             field_names=np.array(names),
             field_kinds=np.array([field_kinds[n] for n in names]),
             **{f"cf_{n}": coarse_fields[n] for n in names},
+            **_mg_to_bundle(mg_data),
         )
     geo = dict(
         S=jnp.asarray(S),
