@@ -197,7 +197,13 @@ def gold_lu(n):
         # mixed solve under validation floors at rel ~3e-11 itself
         np.savez(f"/tmp/poly_gold_{n}.npz", u=u, energy=0.0,
                  res_norms=np.asarray([rn / r0]))
-        if rn < max(1e-11 * r0, 1e-30):
+        # in mixed-polish mode ALWAYS take at least one exact LU step:
+        # the whole point is measuring the candidate's distance to the
+        # true root, and a candidate already below the rel exit would
+        # otherwise be 'validated' against itself (r5: the deeper-driven
+        # TPU solve hit rel 5.7e-12 on entry)
+        if rn < max(1e-11 * r0, 1e-30) and not (
+                os.environ.get("GOLD_INIT") == "mixed" and it == 1):
             break
         t1 = time.perf_counter()
         A = ell_to_scipy(asm.matrix(jnp.asarray(u), coeffs, batch=batch))

@@ -99,13 +99,17 @@ def test_polycrystal_e2e_small(tmp_path):
     out = str(tmp_path / "poly.xdmf")
     res = polycrystal.run(
         20, n_grains=12, gmsh_roundtrip=True, interpret=True,
-        # the volumetric load (default since r5) deforms the solution
-        # ~13% and flips more damage branches: the loaded problem at
-        # this tiny n needs the same Newton headroom as the verified
-        # loaded-consistency tests (maxit 20), not the quick defaults
-        solver=SolverConfig(cg_rtol=1e-10, newton_rtol=1e-7,
-                            newton_maxit=20,
-                            error_on_nonconvergence=False,
+        # use_volume=False: at THIS tiny n with smooth_iters=4 the
+        # damage seeds keep d=1.0 and the from-zero Jacobian is exactly
+        # singular (verified: sparse LU reports 'Factor is exactly
+        # singular'); the unloaded BC-lift has no forcing component in
+        # that null space so the r4-era solve is well-posed, but the
+        # body force excites it and Newton NaNs on any solver. The
+        # LOADED e2e is covered at well-posed configurations by
+        # test_polycrystal_mixed_loaded_consistent (n=16) and the
+        # flagship campaign (n=1024/1760, smooth_iters=8).
+        use_volume=False,
+        solver=SolverConfig(cg_rtol=1e-10, error_on_nonconvergence=False,
                             preconditioner="jacobi"),
         smooth_iters=4, output_path=out,
     )
