@@ -551,7 +551,9 @@ def lane_gather_weighted(values, starts, idx, wts, *, wr: int,
         )
         dma.start()
         dma.wait()
-        ids = idx_ref[0]  # (V, K, L)
+        # idx may arrive int8 (windows < 127 rows — 4x less HBM/upload
+        # traffic for the two-level tables); widen for the compares
+        ids = idx_ref[0].astype(jnp.int32)  # (V, K, L)
         wv = w_ref[0]
         w = win[:]
         for c in range(C):

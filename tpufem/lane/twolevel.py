@@ -484,7 +484,7 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
         val_bin[None],
         vr_bin - starts_p[None, :, None, None],
         -1,
-    ).astype(np.int32)
+    ).astype(np.int8 if WRp < 127 else np.int32)
     p_idx = np.ascontiguousarray(p_idx.transpose(1, 0, 2, 3))  # (G,4,wg,128)
     p_wts = np.stack(
         [pr[1].reshape(G, wg, N_LANES) for pr in parents], axis=1
@@ -540,11 +540,12 @@ def build_twolevel_geo(eng, fine_coeffs, *, nc=None, degree=2,
         assert WRr <= force["WRr"], (WRr, force)
         WRr = force["WRr"]
     r_start = np.minimum(r_start, max(p.R - WRr, 0)).astype(np.int32)
-    r_idx = np.full((Gc, VR, Kc, N_LANES), -1, dtype=np.int32)
+    ridt = np.int8 if WRr < 127 else np.int32
+    r_idx = np.full((Gc, VR, Kc, N_LANES), -1, dtype=ridt)
     r_wts = np.zeros((Gc, VR, Kc, N_LANES))
     r_idx[gc_of, rank, v_s % Kc, lane_s] = (
         frow_s - r_start[gc_of]
-    ).astype(np.int32)
+    ).astype(ridt)
     r_wts[gc_of, rank, v_s % Kc, lane_s] = w_s
 
     # --- owner-refresh table for excluded (teleported-copy) slots -------------
