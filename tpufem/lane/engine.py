@@ -163,12 +163,28 @@ class LaneEngine:
         self._fused = bool(fused) and self._fast_fn is not None
         # fused gate: the per-grid-step cell-data block (Dg, kb, 128)
         # must fit VMEM next to the solution windows and the unrolled
-        # physics temporaries. Q2 hex (Dg ~ 2300 rows) exceeds it —
-        # it runs the specialized STAGED path instead (still far from
-        # the scalarized generic path it used to take)
-        if (self._fused and self._mq is not None
-                and self._mq["nq"] * p.nv > 160):
-            self._fused = False
+        # physics temporaries. Instead of a hard nq*nv cap (which sent
+        # Q2 hex, Dg ~ 2300 rows, to the staged path — VERDICT r4
+        # item 7), size the sub-block kb so the streamed block stays
+        # within a conservative VMEM budget; only when even kb=2 blows
+        # it does the engine fall back to the staged specialization.
+        self._fused_budget_kb = None
+        if self._fused and self._mq is not None:
+            nq_g = self._mq["nq"]
+            gd_g = mesh.x.shape[1]
+            dg_rows = nq_g * p.nv * gd_g + nq_g + nq_g * gd_g
+            if nq_g * p.nv > 160:
+                budget = 4 * 1024 * 1024  # bytes per streamed block
+                kb_fit = next(
+                    (d for d in (16, 8, 4, 2)
+                     if p.kc % d == 0
+                     and dg_rows * d * N_LANES * 4 <= budget),
+                    None,
+                )
+                if kb_fit is None:
+                    self._fused = False
+                else:
+                    self._fused_budget_kb = kb_fit
         self.fused_geom = None
         self._elem_grad_block = self._elem_jvp_block = None
         # cap the per-grid-step cell block: big bins (3D: kc=192) make
@@ -181,6 +197,9 @@ class LaneEngine:
         self._fused_kb = 0 if p.kc <= 16 else next(
             (d for d in (16, 8, 32, 24, 48, 64) if p.kc % d == 0), 0
         )
+        if self._fused_budget_kb is not None:
+            # big-Dg elements (Q2 hex): the VMEM budget picked the block
+            self._fused_kb = self._fused_budget_kb
         # sub-block size override (autotuning knob; see bench.py)
         import os as _os
 
