@@ -161,6 +161,14 @@ class LaneEngine:
         # streamed block-wise into lane_fused_elem (gather + physics +
         # scatter in one HBM pass — the per-iteration hot path)
         self._fused = bool(fused) and self._fast_fn is not None
+        # dead-row elimination: Pallas block specs DMA the WHOLE
+        # (Dg, kb, 128) geometry block per grid step, so quadrature
+        # point rows cost HBM bandwidth even when the integrand never
+        # reads qp.x (the flagship damage law doesn't). Probing the
+        # integrand with a poison x drops the nq*gd xq rows from the
+        # streamed block — 2/9 rows (22% of the geometry stream) for
+        # P1 2D (measured on the polycrystal fused residual, round 5).
+        self._fused_no_xq = self._fused and not self._integrand_uses_x()
         # fused gate: the per-grid-step cell-data block (Dg, kb, 128)
         # must fit VMEM next to the solution windows and the unrolled
         # physics temporaries. Instead of a hard nq*nv cap (which sent
@@ -172,7 +180,9 @@ class LaneEngine:
         if self._fused and self._mq is not None:
             nq_g = self._mq["nq"]
             gd_g = mesh.x.shape[1]
-            dg_rows = nq_g * p.nv * gd_g + nq_g + nq_g * gd_g
+            dg_rows = nq_g * p.nv * gd_g + nq_g + (
+                0 if self._fused_no_xq else nq_g * gd_g
+            )
             if nq_g * p.nv > 160:
                 budget = 4 * 1024 * 1024  # bytes per streamed block
                 kb_fit = next(
@@ -212,17 +222,16 @@ class LaneEngine:
             if self._mq is not None:
                 # (nq,nv,gd,M), (nq,M), (nq,gd,M) -> stacked rows
                 nq_, _nv_, gd, _M_ = dN_h.shape
-                rows = np.concatenate(
-                    [dN_h.reshape(nq_ * p.nv * gd, M), w_h,
-                     xq_h.reshape(nq_ * gd, M)],
-                    axis=0,
-                )
+                parts = [dN_h.reshape(nq_ * p.nv * gd, M), w_h]
+                if not self._fused_no_xq:
+                    parts.append(xq_h.reshape(nq_ * gd, M))
+                rows = np.concatenate(parts, axis=0)
             else:  # P1: (nv,gd,M), (M,), (gd,M)
                 gd = xq_h.shape[0]
-                rows = np.concatenate(
-                    [dN_h.reshape(p.nv * gd, M), w_h[None, :], xq_h],
-                    axis=0,
-                )
+                parts = [dN_h.reshape(p.nv * gd, M), w_h[None, :]]
+                if not self._fused_no_xq:
+                    parts.append(xq_h)
+                rows = np.concatenate(parts, axis=0)
             Dg = rows.shape[0]
             self.fused_geom = self._store(
                 np.ascontiguousarray(
@@ -1051,6 +1060,52 @@ class LaneEngine:
             return None, None
         return red_residual, red_tangent
 
+    def _integrand_uses_x(self):
+        """True iff the cell integrand reads qp.x (probed, conservative).
+
+        The integrand is evaluated once on plain scalars with a poison
+        object in every x component: any arithmetic on (or any failure
+        while evaluating with) the poison marks x as used, so dropping
+        the xq rows from the fused geometry stream is only done when the
+        probe completes cleanly — a false positive merely keeps the rows.
+        """
+        from tpufem.forms.form import QP
+        from tpufem.forms.smat import SMat, SVec
+
+        class _Touched(Exception):
+            pass
+
+        class _Poison:
+            def _no(self, *a, **k):
+                raise _Touched()
+
+            for _op in ("add", "radd", "sub", "rsub", "mul", "rmul",
+                        "truediv", "rtruediv", "pow", "rpow", "mod",
+                        "rmod", "lt", "le", "gt", "ge", "eq", "ne",
+                        "neg", "pos", "abs", "float", "index", "bool",
+                        "matmul", "rmatmul", "getitem", "iter"):
+                locals()[f"__{_op}__"] = _no
+            del _op
+
+        try:
+            bs = self.bs
+            gd = self.space.mesh.gdim
+            grad = SMat([[0.01 * (1 + i * gd + j) for j in range(gd)]
+                         for i in range(bs)])
+            u = 0.001 if bs == 1 else SVec([0.001 * (i + 1)
+                                            for i in range(bs)])
+            cvals = {}
+            for c in self.functional.coefficients:
+                cb = c.space.bs
+                cvals[c.name] = 0.5 if cb == 1 else SVec([0.5] * cb)
+            x = SVec([_Poison() for _ in range(gd)])
+            qp = QP(grad, u, x, cvals, {})
+            for term in self.functional.terms:
+                term.integrand(qp)
+            return False
+        except Exception:
+            return True
+
     def _make_block_fns(self):
         """Block physics closures for the fused kernel: grad / JVP of
         the per-cell energy, double-vmapped over a (K, 128) tile (traced
@@ -1070,6 +1125,7 @@ class LaneEngine:
         nv, gd = p.nv, mesh.gdim
         ng = nv * gd
         nd = nv * bs
+        no_xq = self._fused_no_xq
         term = self.functional.terms[0]
         integrand = term.integrand
         coeff_meta = []  # (name, offset, ndofc, cb)
@@ -1108,7 +1164,8 @@ class LaneEngine:
                 uq.append(acc * inv_nv)
             u_q = uq[0] if bs == 1 else SVec(uq)
             wc = gcol[ng]
-            xqc = SVec([gcol[ng + 1 + d] for d in range(gd)])
+            xqc = (None if no_xq
+                   else SVec([gcol[ng + 1 + d] for d in range(gd)]))
             cvals = {}
             for nm, off, ndofc, cb in coeff_meta:
                 comps = []
@@ -1125,7 +1182,7 @@ class LaneEngine:
             qp = QP(grad_u, u_q, xqc, cvals, {})
             return integrand(qp) * wc
 
-        Dg = ng + 1 + gd
+        Dg = ng + 1 + (0 if no_xq else gd)
         return self._tile_ad_fns(energy_t, nd, Dg, a, bool(coeff_meta))
 
     @staticmethod
@@ -1200,6 +1257,7 @@ class LaneEngine:
         nq = self._mq["nq"]
         Nf = self._mq["Nf"]
         Nc = self._mq["Nc"]
+        no_xq = self._fused_no_xq
         integrand = self._mq["integrand"]
         coeff_meta = []  # (name, offset, ndofc, cb)
         a = 0
@@ -1242,8 +1300,9 @@ class LaneEngine:
                     uq.append(acc)
                 u_q = uq[0] if bs == 1 else SVec(uq)
                 wc = gcol[ngr + q]
-                xqc = SVec([gcol[ngr + nq + q * gd + d]
-                            for d in range(gd)])
+                xqc = (None if no_xq
+                       else SVec([gcol[ngr + nq + q * gd + d]
+                                  for d in range(gd)]))
                 cvals = {}
                 for nm, off, ndofc, cb in coeff_meta:
                     comps = []
@@ -1266,7 +1325,7 @@ class LaneEngine:
                 total = t if total is None else total + t
             return total
 
-        Dg = ngr + nq + nq * gd
+        Dg = ngr + nq + (0 if no_xq else nq * gd)
         return self._tile_ad_fns(energy_t, nd, Dg, a, bool(coeff_meta))
 
     def _can_fuse(self, coeff_cells) -> bool:
